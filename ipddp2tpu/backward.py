@@ -1,0 +1,264 @@
+"""Backward pass: Riccati-like recursion of per-stage primal-dual KKT solves.
+
+TPU-native re-design of the reference backward pass (reference:
+src/backward_pass.jl:1-195): a `lax.scan` (reverse over time) whose per-stage
+body assembles the condensed primal-dual KKT system
+
+    K = [ H_hat + reg*I   cu^T      ]     rhs = -[ Qu_hat   B  ]
+        [ cu             -delta_c*I ]            [ c        cx ]
+
+with
+    Sigma_L = zl / il,  Sigma_U = zu / iu
+    Qu_hat  = lu + cu^T phi + fu^T Vx' - mu/il + mu/iu
+    C       = lxx + fx^T Vxx' fx  (+ lam' . fxx + phi . cxx)
+    H_hat   = luu + diag(Sigma_L + Sigma_U) + fu^T Vxx' fu (+ lam' . fuu + phi . cuu)
+    B       = lux + fu^T Vxx' fx  (+ lam' . fux + phi . cux)
+
+solves for the affine control/equality-dual update rule [alpha beta; psi omega],
+derives the bound-dual gains in closed form
+
+    chi_l = mu/il - zl - Sigma_L alpha      zeta_l = -Sigma_L . beta
+    chi_u = mu/iu - zu + Sigma_U alpha      zeta_u =  Sigma_U . beta
+
+and propagates the value function and costate
+
+    Vxx = C + beta^T B + omega^T cx
+    Vx  = lx + cx^T phi + beta^T Qu_hat + omega^T c + fx^T Vx'
+    lam = lx + cx^T phi + fx^T lam'
+
+(reference: src/backward_pass.jl:62-189). The inertia-correction escape hatch
+— restart the whole pass with a larger primal regularization whenever a stage's
+KKT matrix has wrong inertia, and switch on dual regularization
+delta_c = options.delta_c * mu^kappa_c when it is singular — is a bounded
+`lax.while_loop` over the IPOPT-style ladder (reference:
+src/backward_pass.jl:55,191, src/inertia_correction.jl:257-276).
+
+The dynamics second-order contraction uses the costate lam' carried *by this
+scan* (sequential dependence, reference: src/backward_pass.jl:105), so the full
+dynamics Hessians fH are precomputed per iteration and contracted with the
+carry inside the scan body. Everything `vmap`s over problem instances; the
+restart loop then runs in lockstep with per-instance predicates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .derivatives import DerivativeBundle
+from .ops.ldlt import kkt_factor_and_inertia, ldlt_solve_refined
+from .options import Options
+from .problem import Problem
+
+Array = jax.Array
+
+
+class Gains(NamedTuple):
+    """Affine update rule parameters, stacked over time.
+
+    Layout mirrors the reference's per-stage gain matrices with views
+    (reference: src/data/update_rule.jl:68-84) as dense [T, ...] arrays.
+    """
+
+    alpha: Array    # [T, nu]      feedforward control
+    beta: Array     # [T, nu, nx]  feedback control
+    psi: Array      # [T, nc]      feedforward equality dual
+    omega: Array    # [T, nc, nx]  feedback equality dual
+    chi_l: Array    # [T, nu]      feedforward lower-bound dual
+    zeta_l: Array   # [T, nu, nx]  feedback lower-bound dual
+    chi_u: Array    # [T, nu]
+    zeta_u: Array   # [T, nu, nx]
+
+
+class BackwardResult(NamedTuple):
+    gains: Gains
+    lam: Array          # [T+1, nx] costates (nominal dynamics duals)
+    dL: Array           # scalar: expected Lagrangian change per unit step
+    status: Array       # scalar int: 0 ok, 1 backward failed
+    reg: Array          # scalar: regularization used by the accepted pass
+    delta_c: Array      # scalar: dual regularization used
+
+
+class _StageOut(NamedTuple):
+    alpha: Array
+    beta: Array
+    psi: Array
+    omega: Array
+    chi_l: Array
+    zeta_l: Array
+    chi_u: Array
+    zeta_u: Array
+    lam: Array
+
+
+def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
+              mu, reg, delta_c, options: Options):
+    """One full backward sweep at fixed (reg, delta_c).
+
+    Returns (stage outputs, dL, fail, singular_at_first_failure).
+    """
+    nx, nu, nc = problem.nx, problem.nu, problem.nc
+    T = problem.T
+    c_rel, il, iu, phi, zl, zu = nominal  # each [T, ...]
+
+    quasi_newton = options.quasi_newton
+    dtype = il.dtype
+    eye_nu = jnp.eye(nu, dtype=dtype)
+    eye_nc = jnp.eye(nc, dtype=dtype)
+
+    def stage(carry, xs):
+        Vx_n, Vxx_n, lam_n, dL, fail, singular = carry
+        (fx, fu, fH, lx, lu, lxx, lux, luu, cx, cu, cH,
+         c_t, il_t, iu_t, phi_t, zl_t, zu_t) = xs
+
+        sl = 1.0 / il_t          # 0 where il = +inf (unbounded below)
+        su = 1.0 / iu_t
+        sig_l = zl_t * sl
+        sig_u = zu_t * su
+
+        Qu = lu + cu.T @ phi_t + fu.T @ Vx_n - mu * sl + mu * su
+
+        fuV = fu.T @ Vxx_n               # [nu, nx]
+        fxV = fx.T @ Vxx_n               # [nx, nx]
+        C = lxx + fxV @ fx
+        H = luu + jnp.diag(sig_l + sig_u) + fuV @ fu
+        Bm = lux + fuV @ fx
+
+        if not quasi_newton:
+            fHl = jnp.einsum("i,ijk->jk", lam_n, fH)   # [nz, nz]
+            second = fHl + cH
+            C = C + second[:nx, :nx]
+            Bm = Bm + second[nx:, :nx]
+            H = H + second[nx:, nx:]
+        H = H + reg * eye_nu
+
+        m = nu + nc
+        K = jnp.zeros((m, m), dtype)
+        K = K.at[:nu, :nu].set(H)
+        if nc > 0:
+            K = K.at[:nu, nu:].set(cu.T)
+            K = K.at[nu:, :nu].set(cu)
+            K = K.at[nu:, nu:].set(-delta_c * eye_nc)
+
+        factors = kkt_factor_and_inertia(K, atol=options.inertia_atol)
+        stage_ok = factors.ok & (factors.n_pos == nu)
+        stage_singular = factors.n_zero > 0
+
+        rhs = jnp.concatenate(
+            [
+                jnp.concatenate([-Qu[:, None], -Bm], axis=1),
+                jnp.concatenate([-c_t[:, None], -cx], axis=1),
+            ],
+            axis=0,
+        )                                             # [m, nx+1]
+        X = ldlt_solve_refined(
+            factors, K, rhs, refine_steps=options.refine_steps
+        )
+        alpha, beta = X[:nu, 0], X[:nu, 1:]
+        psi, omega = X[nu:, 0], X[nu:, 1:]
+
+        chi_l = mu * sl - zl_t - sig_l * alpha
+        zeta_l = -sig_l[:, None] * beta
+        chi_u = mu * su - zu_t + sig_u * alpha
+        zeta_u = sig_u[:, None] * beta
+
+        Vxx = C + beta.T @ Bm + omega.T @ cx
+        Vx_pre = lx + cx.T @ phi_t
+        lam_t = Vx_pre + fx.T @ lam_n
+        Vx = Vx_pre + beta.T @ Qu + omega.T @ c_t + fx.T @ Vx_n
+
+        dL = dL + Qu @ alpha + c_t @ psi
+
+        first_fail = jnp.logical_and(~fail, ~stage_ok)
+        singular = singular | (first_fail & stage_singular)
+        fail = fail | ~stage_ok
+
+        out = _StageOut(alpha, beta, psi, omega,
+                        chi_l, zeta_l, chi_u, zeta_u, lam_t)
+        return (Vx, Vxx, lam_t, dL, fail, singular), out
+
+    xs = (deriv.fx, deriv.fu,
+          deriv.fH if not quasi_newton else jnp.zeros((T, 0)),
+          deriv.lx, deriv.lu, deriv.lxx, deriv.lux, deriv.luu,
+          deriv.cx, deriv.cu,
+          deriv.cH_phi if not quasi_newton else jnp.zeros((T, 0)),
+          c_rel, il, iu, phi, zl, zu)
+
+    lam_T = deriv.lTx
+    carry0 = (deriv.lTx, deriv.lTxx, lam_T,
+              jnp.zeros((), dtype),
+              jnp.zeros((), bool), jnp.zeros((), bool))
+    (_, _, _, dL, fail, singular), outs = jax.lax.scan(
+        stage, carry0, xs, reverse=True
+    )
+    lam = jnp.concatenate([outs.lam, lam_T[None]], axis=0)  # [T+1, nx]
+    gains = Gains(outs.alpha, outs.beta, outs.psi, outs.omega,
+                  outs.chi_l, outs.zeta_l, outs.chi_u, outs.zeta_u)
+    return gains, lam, dL, fail, singular
+
+
+def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
+                  mu, reg_last, options: Options) -> BackwardResult:
+    """Full backward pass with the inertia-correction restart ladder.
+
+    `nominal` = (c_relaxed [T,nc], il [T,nu], iu [T,nu], phi [T,nc],
+    zl [T,nu], zu [T,nu]) — the accepted-iterate quantities the recursion
+    reads (reference: src/backward_pass.jl:48-49).
+    """
+    nx, nu, nc, T = problem.nx, problem.nu, problem.nc, problem.T
+    dtype = nominal[1].dtype
+    zero = jnp.zeros((), dtype)
+
+    def attempt(reg, delta_c):
+        return _run_pass(problem, deriv, nominal, mu, reg, delta_c, options)
+
+    # The initial attempt always runs with reg = 0, delta_c = 0
+    # (reference: src/backward_pass.jl:52-53).
+    init_result = attempt(zero, zero)
+
+    def next_reg(reg):
+        # IPOPT-style ladder (reference: src/inertia_correction.jl:268-273).
+        first = jnp.where(
+            reg_last == 0.0,
+            jnp.asarray(options.reg_1, dtype),
+            jnp.maximum(options.reg_min, options.kappa_w_minus * reg_last),
+        )
+        bumped = jnp.where(
+            reg_last == 0.0,
+            options.kappa_w_plus_bar * reg,
+            options.kappa_w_plus * reg,
+        )
+        return jnp.where(reg == 0.0, first, bumped)
+
+    def make_carry(reg, delta_c, result, n):
+        gains, lam, dL, fail, singular = result
+        return (reg, delta_c, gains, lam, dL, fail, singular,
+                jnp.asarray(n, jnp.int32))
+
+    def cond(carry):
+        reg, _, _, _, _, fail, _, n = carry
+        return fail & (reg <= options.reg_max) & (n < options.max_backward_restarts)
+
+    def body(carry):
+        reg, delta_c, gains, lam, dL, fail, singular, n = carry
+        # The failed attempt determined the new (reg, delta_c)
+        # (reference: src/inertia_correction.jl:263-273).
+        delta_c_new = jnp.where(
+            singular,
+            jnp.asarray(options.delta_c, dtype) * mu ** options.kappa_c,
+            delta_c,
+        )
+        reg_new = next_reg(reg)
+        result = attempt(reg_new, delta_c_new)
+        return make_carry(reg_new, delta_c_new, result, n + 1)
+
+    carry = make_carry(zero, zero, init_result, 0)
+    reg, delta_c, gains, lam, dL, fail, singular, _ = jax.lax.while_loop(
+        cond, body, carry
+    )
+
+    status = jnp.where(fail, jnp.int32(1), jnp.int32(0))
+    return BackwardResult(gains=gains, lam=lam, dL=dL, status=status,
+                          reg=reg, delta_c=delta_c)

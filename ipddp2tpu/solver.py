@@ -1,0 +1,193 @@
+"""Reference-parity facade.
+
+Mirrors the reference's exported construction API (reference:
+src/InteriorPointDDP.jl:29-45: Objective, Constraint, Dynamics, Bound, Solver,
+Options, solve!, get_trajectory) on top of the functional core. The reference
+builds per-stage lists where the last stage has `num_control = 0` and carries
+the terminal objective (reference: src/data/problem.jl:39-78); this facade
+accepts the same shape of input and lowers it to the uniform-stage `Problem`
+with an explicit terminal cost.
+
+Reference-style callables take (x, u); time-varying stage lists are lowered to
+a single traced function via `lax.switch` over the stage index, replacing the
+reference's per-stage Symbolics codegen objects (reference:
+src/objectives.jl:12-33) with one compiled dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .options import Options
+from .problem import Bounds, Problem
+from .solve import Solution, solve
+
+
+class Dynamics:
+    """Discrete dynamics x' = f(x, u) (reference: src/dynamics.jl:1-42)."""
+
+    def __init__(self, f: Callable, num_state: int, num_control: int):
+        self.f = f
+        self.num_state = num_state
+        self.num_control = num_control
+
+
+class Objective:
+    """Stage cost l(x, u) (reference: src/objectives.jl:1-33).
+
+    A terminal objective is `Objective(f, nx, 0)`; its callable receives a
+    zero-length control vector, as in the reference convention."""
+
+    def __init__(self, f: Callable, num_state: int, num_control: int):
+        self.f = f
+        self.num_state = num_state
+        self.num_control = num_control
+
+
+class Constraint:
+    """Stagewise equality constraint c(x, u) = 0
+    (reference: src/constraints.jl:1-58).
+
+    `Constraint(nx, nu)` (no callable) is the empty constraint.
+    `indices_compl` marks complementarity rows relaxed by mu
+    (reference: src/constraints.jl:16-50); 0-indexed here."""
+
+    def __init__(self, *args, num_constraint: Optional[int] = None,
+                 indices_compl: Sequence[int] = ()):
+        if args and callable(args[0]):
+            self.f, self.num_state, self.num_control = args[:3]
+            if num_constraint is None:
+                x = jnp.zeros(self.num_state)
+                u = jnp.zeros(self.num_control)
+                num_constraint = int(jax.eval_shape(self.f, x, u).shape[0])
+            self.num_constraint = num_constraint
+        else:
+            self.f = None
+            self.num_state, self.num_control = args[:2]
+            self.num_constraint = 0
+        self.indices_compl = tuple(indices_compl)
+
+
+class Bound:
+    """Box bound on controls, +-inf allowed (reference: src/bounds.jl:12-26).
+
+    Bound(lower, upper) | Bound(num_control) unbounded |
+    Bound(num_control, lo_scalar, up_scalar)."""
+
+    def __init__(self, *args):
+        if len(args) == 1 and isinstance(args[0], int):
+            n = args[0]
+            self.lower = np.full(n, -np.inf)
+            self.upper = np.full(n, np.inf)
+        elif len(args) == 3 and isinstance(args[0], int):
+            n, lo, hi = args
+            self.lower = np.full(n, float(lo))
+            self.upper = np.full(n, float(hi))
+        else:
+            self.lower = np.asarray(args[0], dtype=float)
+            self.upper = np.asarray(args[1], dtype=float)
+
+
+def _lower_stagewise(fns: List[Callable], nx: int):
+    """Lower a per-stage list of (x, u)-callables to one (x, u, t, theta)
+    function — direct call when uniform, `lax.switch` otherwise."""
+    unique: List[Callable] = []
+    index: List[int] = []
+    for f in fns:
+        for i, g in enumerate(unique):
+            if g is f:
+                index.append(i)
+                break
+        else:
+            index.append(len(unique))
+            unique.append(f)
+    if len(unique) == 1:
+        f = unique[0]
+        return lambda x, u, t, theta: f(x, u)
+    branch_of_t = jnp.asarray(index, dtype=jnp.int32)
+
+    def dispatch(x, u, t, theta):
+        return jax.lax.switch(branch_of_t[t],
+                              [lambda x, u, g=g: g(x, u) for g in unique],
+                              x, u)
+
+    return dispatch
+
+
+class Solver:
+    """Reference-style solver facade (reference: src/solver.jl:4-26).
+
+    dynamics: list of T Dynamics; objectives: list of T+1 Objective (last is
+    terminal); constraints: list of T+1 Constraint (last empty); bounds: list
+    of T+1 Bound (last empty)."""
+
+    def __init__(self, dynamics: List[Dynamics], objectives: List[Objective],
+                 constraints: Optional[List[Constraint]] = None,
+                 bounds: Optional[List[Bound]] = None,
+                 options: Optional[Options] = None):
+        N = len(objectives)
+        T = N - 1
+        assert len(dynamics) == T, (
+            "length(dynamics) + 1 == length(objectives) "
+            "(reference: src/data/problem.jl:41)")
+        nx = dynamics[0].num_state
+        nu = dynamics[0].num_control
+
+        if constraints is None:
+            constraints = [Constraint(nx, nu) for _ in range(N)]
+        if bounds is None:
+            bounds = [Bound(nu) for _ in range(T)] + [Bound(0)]
+
+        stage_cons = constraints[:T]
+        nc = stage_cons[0].num_constraint if stage_cons else 0
+        assert all(c.num_constraint == nc for c in stage_cons), (
+            "uniform stage constraint dimension required "
+            "(pad with zeros for ragged stages)")
+        compl = stage_cons[0].indices_compl if stage_cons else ()
+
+        dyn_fn = _lower_stagewise([d.f for d in dynamics], nx)
+        cost_fn = _lower_stagewise([o.f for o in objectives[:T]], nx)
+        term_f = objectives[T].f
+
+        if nc > 0:
+            con_fn = _lower_stagewise([c.f for c in stage_cons], nx)
+        else:
+            con_fn = None
+
+        self.problem = Problem(
+            T=T, nx=nx, nu=nu, nc=nc,
+            dynamics=dyn_fn, stage_cost=cost_fn,
+            terminal_cost=lambda x, theta: term_f(x, jnp.zeros((0,), x.dtype)),
+            constraints=con_fn, compl_indices=compl)
+        self.bounds = Bounds(
+            lower=jnp.asarray(np.stack([b.lower for b in bounds[:T]])),
+            upper=jnp.asarray(np.stack([b.upper for b in bounds[:T]])))
+        self.options = options or Options()
+        self.solution: Optional[Solution] = None
+
+    def solve(self, x1, u_init) -> Solution:
+        """Reference `solve!(solver, x1, u_init)` (reference: src/solve.jl:1-4).
+
+        u_init: [T, nu] array or reference-style list of per-stage vectors
+        (a trailing empty terminal entry is ignored)."""
+        if isinstance(u_init, (list, tuple)):
+            u_init = [np.asarray(v) for v in u_init]
+            if len(u_init) == self.problem.T + 1 and u_init[-1].size == 0:
+                u_init = u_init[:-1]
+            u_init = np.stack(u_init)
+        x1 = jnp.asarray(x1)
+        u_init = jnp.asarray(u_init, dtype=x1.dtype)
+        self.solution = solve(self.problem, self.bounds, x1, u_init,
+                              options=self.options)
+        return self.solution
+
+
+def get_trajectory(solver: Solver):
+    """(states, controls) of the accepted iterate
+    (reference: src/solver.jl:46-48)."""
+    assert solver.solution is not None, "call solver.solve first"
+    return solver.solution.x, solver.solution.u
