@@ -48,7 +48,8 @@ import jax
 import jax.numpy as jnp
 
 from .derivatives import DerivativeBundle
-from .ops.ldlt import kkt_factor_and_inertia, ldlt_solve_refined
+from .ops.ldlt import (eigh_factor_and_inertia, eigh_solve,
+                       kkt_factor_and_inertia, ldlt_solve_refined)
 from .options import Options
 from .problem import Problem
 
@@ -142,10 +143,6 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
             K = K.at[nu:, :nu].set(cu)
             K = K.at[nu:, nu:].set(-delta_c * eye_nc)
 
-        factors = kkt_factor_and_inertia(K, atol=options.inertia_atol)
-        stage_ok = factors.ok & (factors.n_pos == nu)
-        stage_singular = factors.n_zero > 0
-
         rhs = jnp.concatenate(
             [
                 jnp.concatenate([-Qu[:, None], -Bm], axis=1),
@@ -153,9 +150,16 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
             ],
             axis=0,
         )                                             # [m, nx+1]
-        X = ldlt_solve_refined(
-            factors, K, rhs, refine_steps=options.refine_steps
-        )
+        if options.inertia_method == "eigh":
+            factors = eigh_factor_and_inertia(K, atol=options.inertia_atol)
+            X = eigh_solve(factors, rhs)
+        else:
+            factors = kkt_factor_and_inertia(K, atol=options.inertia_atol)
+            X = ldlt_solve_refined(
+                factors, K, rhs, refine_steps=options.refine_steps
+            )
+        stage_ok = factors.ok & (factors.n_pos == nu)
+        stage_singular = factors.n_zero > 0
         alpha, beta = X[:nu, 0], X[:nu, 1:]
         psi, omega = X[nu:, 0], X[nu:, 1:]
 

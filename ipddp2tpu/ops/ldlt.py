@@ -136,3 +136,40 @@ def kkt_factor_and_inertia(K: Array, *, atol: float = 1e-12) -> LDLTFactors:
     `info == 0` there.
     """
     return ldlt_factor(K, atol=atol)
+
+
+class EighFactors(NamedTuple):
+    """Eigendecomposition-backed factorization: exact inertia, robust solve.
+
+    Slower than LDL^T but pivot-free; used as the bit-reliable oracle path
+    (options.inertia_method == "eigh") for tests and hard instances."""
+
+    w: Array      # [m] eigenvalues
+    v: Array      # [m, m] eigenvectors
+    ok: Array
+    n_pos: Array
+    n_zero: Array
+
+
+def eigh_factor_and_inertia(K: Array, *, atol: float = 1e-12) -> EighFactors:
+    m = K.shape[-1]
+    if m == 0:
+        z = jnp.zeros((), jnp.int32)
+        return EighFactors(jnp.zeros((0,), K.dtype), K,
+                           jnp.asarray(True), z, z)
+    w, v = jnp.linalg.eigh(K)
+    n_pos = jnp.sum(w > atol).astype(jnp.int32)
+    n_zero = jnp.sum(jnp.abs(w) <= atol).astype(jnp.int32)
+    ok = jnp.all(jnp.isfinite(w)) & (n_zero == 0)
+    return EighFactors(w=w, v=v, ok=ok, n_pos=n_pos, n_zero=n_zero)
+
+
+def eigh_solve(factors: EighFactors, b: Array) -> Array:
+    if factors.w.shape[-1] == 0:
+        return b
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    w = jnp.where(factors.w == 0, 1.0, factors.w)
+    x = factors.v @ ((factors.v.T @ b) / w[:, None])
+    return x[:, 0] if squeeze else x

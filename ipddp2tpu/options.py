@@ -82,5 +82,7 @@ class Options:
                                         # reference loops until reg > reg_max which
                                         # takes <= ~56 bumps from reg_1 with x8 steps
     refine_steps: int = 1               # iterative refinement sweeps on KKT solves
+    inertia_method: str = "ldl"         # "ldl" (fast, unpivoted + refinement) or
+                                        # "eigh" (oracle: exact inertia, robust)
     ls_min_step: float = 0.0            # extra lower bound on line-search step size
                                         # (0 = machine eps like the reference)
