@@ -49,7 +49,7 @@ import jax.numpy as jnp
 
 from .derivatives import DerivativeBundle
 from .ops.ldlt import (eigh_factor_and_inertia, eigh_solve,
-                       kkt_factor_and_inertia, ldlt_solve_refined)
+                       ldlt_factor_pivoted, ldlt_solve_refined)
 from .options import Options
 from .problem import Problem
 
@@ -95,10 +95,11 @@ class _StageOut(NamedTuple):
 
 
 def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
-              mu, reg, delta_c, options: Options):
+              mu, reg, delta_c, options: Options, collect_kkt: bool = False):
     """One full backward sweep at fixed (reg, delta_c).
 
-    Returns (stage outputs, dL, fail, singular_at_first_failure).
+    Returns (stage outputs, dL, fail, singular_at_first_failure)
+    (plus stacked per-stage KKT matrices when collect_kkt, for diagnostics).
     """
     nx, nu, nc = problem.nx, problem.nu, problem.nc
     T = problem.T
@@ -153,12 +154,19 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
         if options.inertia_method == "eigh":
             factors = eigh_factor_and_inertia(K, atol=options.inertia_atol)
             X = eigh_solve(factors, rhs)
+            solve_ok = jnp.asarray(True)
         else:
-            factors = kkt_factor_and_inertia(K, atol=options.inertia_atol)
-            X = ldlt_solve_refined(
-                factors, K, rhs, refine_steps=options.refine_steps
-            )
-        stage_ok = factors.ok & (factors.n_pos == nu)
+            # Diagonal-pivoted LDL^T: pivot signs give the exact inertia when
+            # the factorization is sound; soundness is certified a posteriori
+            # by the refined solve's backward-stability residual. A breakdown
+            # is answered exactly like wrong inertia — bump reg and restart
+            # (reference escape hatch: src/inertia_correction.jl:266-273).
+            factors = ldlt_factor_pivoted(K)
+            X, solve_ok = ldlt_solve_refined(
+                factors, K, rhs, refine_steps=options.refine_steps,
+                check_residual=True,
+                residual_rtol=options.kkt_residual_rtol)
+        stage_ok = factors.ok & (factors.n_pos == nu) & solve_ok
         stage_singular = factors.n_zero > 0
         alpha, beta = X[:nu, 0], X[:nu, 1:]
         psi, omega = X[nu:, 0], X[nu:, 1:]
@@ -169,6 +177,11 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
         zeta_u = sig_u[:, None] * beta
 
         Vxx = C + beta.T @ Bm + omega.T @ cx
+        # Exact-arithmetic Vxx is symmetric (C - [B' cx'] K^{-1} [B; cx]);
+        # without explicit symmetrization, roundoff asymmetry is amplified
+        # geometrically by the recursion (~1.5x/stage observed on the contact
+        # benchmarks, destroying the KKT blocks after ~60 stages).
+        Vxx = 0.5 * (Vxx + Vxx.T)
         Vx_pre = lx + cx.T @ phi_t
         lam_t = Vx_pre + fx.T @ lam_n
         Vx = Vx_pre + beta.T @ Qu + omega.T @ c_t + fx.T @ Vx_n
@@ -181,6 +194,8 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
 
         out = _StageOut(alpha, beta, psi, omega,
                         chi_l, zeta_l, chi_u, zeta_u, lam_t)
+        if collect_kkt:
+            out = (out, (K, rhs, X, stage_ok, factors.n_pos, solve_ok))
         return (Vx, Vxx, lam_t, dL, fail, singular), out
 
     xs = (deriv.fx, deriv.fu,
@@ -197,9 +212,14 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
     (_, _, _, dL, fail, singular), outs = jax.lax.scan(
         stage, carry0, xs, reverse=True
     )
+    kkt_debug = None
+    if collect_kkt:
+        outs, kkt_debug = outs
     lam = jnp.concatenate([outs.lam, lam_T[None]], axis=0)  # [T+1, nx]
     gains = Gains(outs.alpha, outs.beta, outs.psi, outs.omega,
                   outs.chi_l, outs.zeta_l, outs.chi_u, outs.zeta_u)
+    if collect_kkt:
+        return gains, lam, dL, fail, singular, kkt_debug
     return gains, lam, dL, fail, singular
 
 

@@ -82,6 +82,9 @@ class Options:
                                         # reference loops until reg > reg_max which
                                         # takes <= ~56 bumps from reg_1 with x8 steps
     refine_steps: int = 1               # iterative refinement sweeps on KKT solves
+    kkt_residual_rtol: float = 1e-6     # backward-stability gate on refined KKT
+                                        # solves; failing it triggers the same
+                                        # reg-bump escape as wrong inertia
     inertia_method: str = "ldl"         # "ldl" (fast, unpivoted + refinement) or
                                         # "eigh" (oracle: exact inertia, robust)
     ls_min_step: float = 0.0            # extra lower bound on line-search step size
