@@ -139,7 +139,11 @@ def ldlt_factor_pivoted(A: Array, *, atol: float = 0.0) -> LDLTFactors:
         M = M.at[j, j].set(dj)
         return M, pi
 
-    ld, perm = jax.lax.fori_loop(0, m, col_step, (A, idx), unroll=True)
+    # Tie the initial permutation to the input so its device-variance matches
+    # the matrix under shard_map (a constant arange is "unvarying" and trips
+    # the scan carry VMA check inside sharded computations).
+    idx0 = idx + (A[0, 0] * 0).astype(idx.dtype)
+    ld, perm = jax.lax.fori_loop(0, m, col_step, (A, idx0), unroll=True)
 
     d = jnp.diagonal(ld)
     finite = jnp.all(jnp.isfinite(ld))

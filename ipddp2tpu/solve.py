@@ -239,6 +239,16 @@ def solve(problem: Problem, bounds: Bounds, x1, u_init,
     return (sol, state) if return_state else sol
 
 
+def iteration(problem: Problem, bounds: Bounds, s: SolverState, theta,
+              options: Options) -> SolverState:
+    """One outer iteration: derivatives -> backward -> errors -> {converged |
+    barrier update | forward + accept}. Pure function of the state; the unit
+    the driver compile-checks and the building block of `run`."""
+    tol = options.optimality_tolerance
+    num_bounds = bounds.num_bounds
+    return _body(problem, bounds, theta, options, tol, num_bounds, s)
+
+
 def run(problem: Problem, bounds: Bounds, state: SolverState, theta,
         options: Options) -> SolverState:
     """The main iteration loop on an initialized state."""
@@ -250,86 +260,7 @@ def run(problem: Problem, bounds: Bounds, state: SolverState, theta,
                 & (s.status == 0) & (~s.converged))
 
     def body(s: SolverState):
-        deriv = evaluate_derivatives(
-            problem, theta, s.x, s.u, s.phi,
-            quasi_newton=options.quasi_newton)
-        c_rel = relax_constraints(problem, s.c_raw, s.mu)
-        nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
-        bw = backward_pass(problem, deriv, nominal, s.mu, s.reg_last, options)
-        s = s._replace(lam=bw.lam, reg_last=bw.reg)
-
-        d_inf = dual_error(problem, deriv, bounds,
-                           s.phi, s.zl, s.zu, s.lam, options)
-        p_inf = (jnp.max(jnp.abs(c_rel)) if c_rel.size
-                 else jnp.zeros((), s.mu.dtype))
-        cs0 = cs_error(bounds, s.il, s.iu, s.zl, s.zu, 0.0, options)
-        cs_mu = cs_error(bounds, s.il, s.iu, s.zl, s.zu, s.mu, options)
-        opt_err_0 = jnp.maximum(jnp.maximum(d_inf, cs0), p_inf)
-        opt_err_mu = jnp.maximum(jnp.maximum(d_inf, cs_mu), p_inf)
-        s = s._replace(primal_inf=p_inf, dual_inf=d_inf, cs_inf=cs0)
-
-        converged = opt_err_0 < tol
-        backward_failed = bw.status != 0
-        barrier_branch = ((opt_err_mu <= options.kappa_eps * s.mu)
-                          & (num_bounds > 0) & (s.mu > tol / 10.0))
-
-        def do_barrier(s: SolverState):
-            # mu <- max(tol/10, min(kappa_mu mu, mu^theta_mu)); reset filter;
-            # refresh merit measures; skip the forward pass
-            # (reference: src/solve.jl:61-73).
-            mu_new = jnp.maximum(tol / 10.0,
-                                 jnp.minimum(options.kappa_mu * s.mu,
-                                             s.mu ** options.theta_mu))
-            c_rel_new = relax_constraints(problem, s.c_raw, mu_new)
-            L_new, J = barrier_lagrangian(
-                problem, theta, bounds, s.x, s.u, c_rel_new,
-                s.phi, s.il, s.iu, mu_new)
-            theta_new = jnp.sum(jnp.abs(c_rel_new))
-            return s._replace(
-                mu=mu_new,
-                filter_pts=_reset_filter(s.filter_pts, s.max_primal_1),
-                filter_n=jnp.int32(1),
-                L_curr=L_new, theta_curr=theta_new, objective=J,
-                j=s.j + 1)
-
-        def do_forward(s: SolverState):
-            fw = forward_pass(
-                problem, theta, bounds, bw.gains, _nominal_trial(s),
-                bw.dL, s.mu, s.theta_curr, s.L_curr, s.min_primal_1,
-                s.filter_pts, options)
-
-            def accept(s: SolverState):
-                t = fw.trial
-                fpts, fn = jax.lax.cond(
-                    (~fw.armijo_passed) & (~fw.switching),
-                    lambda: _augment_filter(s.filter_pts, s.filter_n,
-                                            s.theta_curr, s.L_curr, options),
-                    lambda: (s.filter_pts, s.filter_n))
-                return s._replace(
-                    x=t.x, u=t.u, c_raw=t.c_raw, il=t.il, iu=t.iu,
-                    phi=t.phi, zl=t.zl, zu=t.zu,
-                    objective=fw.objective,
-                    L_curr=fw.L_next, theta_curr=fw.theta_next,
-                    filter_pts=fpts, filter_n=fn,
-                    k=s.k + 1, num_ls=fw.num_ls, step_size=fw.step_size)
-
-            s = jax.lax.cond(fw.status == 0, accept,
-                             lambda s: s._replace(status=fw.status), s)
-            return s
-
-        def active(s: SolverState):
-            s = jax.lax.cond(barrier_branch, do_barrier, do_forward, s)
-            return s
-
-        s = jax.lax.cond(
-            backward_failed,
-            lambda s: s._replace(status=jnp.int32(1)),
-            lambda s: jax.lax.cond(
-                converged,
-                lambda s: s._replace(converged=jnp.ones((), bool)),
-                active, s),
-            s)
-        return s
+        return _body(problem, bounds, theta, options, tol, num_bounds, s)
 
     state = jax.lax.while_loop(cond, body, state)
     state = state._replace(status=jnp.where(
@@ -337,3 +268,87 @@ def run(problem: Problem, bounds: Bounds, state: SolverState, theta,
         & (state.k >= options.max_iterations),
         jnp.int32(8), state.status))
     return state
+
+
+def _body(problem: Problem, bounds: Bounds, theta, options: Options,
+          tol, num_bounds, s: SolverState) -> SolverState:
+    deriv = evaluate_derivatives(
+        problem, theta, s.x, s.u, s.phi,
+        quasi_newton=options.quasi_newton)
+    c_rel = relax_constraints(problem, s.c_raw, s.mu)
+    nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
+    bw = backward_pass(problem, deriv, nominal, s.mu, s.reg_last, options)
+    s = s._replace(lam=bw.lam, reg_last=bw.reg)
+
+    d_inf = dual_error(problem, deriv, bounds,
+                       s.phi, s.zl, s.zu, s.lam, options)
+    p_inf = (jnp.max(jnp.abs(c_rel)) if c_rel.size
+             else jnp.zeros((), s.mu.dtype))
+    cs0 = cs_error(bounds, s.il, s.iu, s.zl, s.zu, 0.0, options)
+    cs_mu = cs_error(bounds, s.il, s.iu, s.zl, s.zu, s.mu, options)
+    opt_err_0 = jnp.maximum(jnp.maximum(d_inf, cs0), p_inf)
+    opt_err_mu = jnp.maximum(jnp.maximum(d_inf, cs_mu), p_inf)
+    s = s._replace(primal_inf=p_inf, dual_inf=d_inf, cs_inf=cs0)
+
+    converged = opt_err_0 < tol
+    backward_failed = bw.status != 0
+    barrier_branch = ((opt_err_mu <= options.kappa_eps * s.mu)
+                      & (num_bounds > 0) & (s.mu > tol / 10.0))
+
+    def do_barrier(s: SolverState):
+        # mu <- max(tol/10, min(kappa_mu mu, mu^theta_mu)); reset filter;
+        # refresh merit measures; skip the forward pass
+        # (reference: src/solve.jl:61-73).
+        mu_new = jnp.maximum(tol / 10.0,
+                             jnp.minimum(options.kappa_mu * s.mu,
+                                         s.mu ** options.theta_mu))
+        c_rel_new = relax_constraints(problem, s.c_raw, mu_new)
+        L_new, J = barrier_lagrangian(
+            problem, theta, bounds, s.x, s.u, c_rel_new,
+            s.phi, s.il, s.iu, mu_new)
+        theta_new = jnp.sum(jnp.abs(c_rel_new))
+        return s._replace(
+            mu=mu_new,
+            filter_pts=_reset_filter(s.filter_pts, s.max_primal_1),
+            filter_n=jnp.int32(1),
+            L_curr=L_new, theta_curr=theta_new, objective=J,
+            j=s.j + 1)
+
+    def do_forward(s: SolverState):
+        fw = forward_pass(
+            problem, theta, bounds, bw.gains, _nominal_trial(s),
+            bw.dL, s.mu, s.theta_curr, s.L_curr, s.min_primal_1,
+            s.filter_pts, options)
+
+        def accept(s: SolverState):
+            t = fw.trial
+            fpts, fn = jax.lax.cond(
+                (~fw.armijo_passed) & (~fw.switching),
+                lambda: _augment_filter(s.filter_pts, s.filter_n,
+                                        s.theta_curr, s.L_curr, options),
+                lambda: (s.filter_pts, s.filter_n))
+            return s._replace(
+                x=t.x, u=t.u, c_raw=t.c_raw, il=t.il, iu=t.iu,
+                phi=t.phi, zl=t.zl, zu=t.zu,
+                objective=fw.objective,
+                L_curr=fw.L_next, theta_curr=fw.theta_next,
+                filter_pts=fpts, filter_n=fn,
+                k=s.k + 1, num_ls=fw.num_ls, step_size=fw.step_size)
+
+        s = jax.lax.cond(fw.status == 0, accept,
+                         lambda s: s._replace(status=fw.status), s)
+        return s
+
+    def active(s: SolverState):
+        s = jax.lax.cond(barrier_branch, do_barrier, do_forward, s)
+        return s
+
+    s = jax.lax.cond(
+        backward_failed,
+        lambda s: s._replace(status=jnp.int32(1)),
+        lambda s: jax.lax.cond(
+            converged,
+            lambda s: s._replace(converged=jnp.ones((), bool)),
+            active, s),
+        s)
+    return s
