@@ -20,6 +20,12 @@ import time
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the solver's nested-control-flow HLO is expensive
+# for the TPU toolchain; cache hits make repeat bench runs start in seconds.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
 

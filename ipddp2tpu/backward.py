@@ -161,7 +161,7 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
             # by the refined solve's backward-stability residual. A breakdown
             # is answered exactly like wrong inertia — bump reg and restart
             # (reference escape hatch: src/inertia_correction.jl:266-273).
-            factors = ldlt_factor_pivoted(K)
+            factors = ldlt_factor_pivoted(K, unroll=options.ldlt_unroll)
             X, solve_ok = ldlt_solve_refined(
                 factors, K, rhs, refine_steps=options.refine_steps,
                 check_residual=True,

@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 
 from .backward import Gains
-from .derivatives import evaluate_constraints, evaluate_objective, relax_constraints
+from .derivatives import (evaluate_constraints, evaluate_objective,
+                          relax_constraints)
 from .options import Options
 from .problem import Bounds, Problem
 
@@ -216,3 +217,74 @@ def forward_pass(problem: Problem, theta, bounds: Bounds, gains: Gains,
     return ForwardResult(trial=trial, theta_next=th, L_next=L, objective=J,
                          step_size=gamma, num_ls=num_ls, status=status,
                          armijo_passed=armijo, switching=switching)
+
+
+def forward_pass_speculative(problem: Problem, theta, bounds: Bounds,
+                             gains: Gains, nominal: Trial, dL, mu,
+                             theta_prev, L_prev, min_primal_1, filter_pts,
+                             options: Options) -> ForwardResult:
+    """Speculative line search: evaluate all step sizes gamma = 2^-i,
+    i < ls_speculative, in ONE batched rollout and select the largest
+    acceptable one.
+
+    TPU-first redesign of the backtracking loop (SURVEY.md §7 "hard parts"
+    #3): instead of a data-dependent `while_loop` whose trip count diverges
+    across vmapped instances, all candidates evaluate in lockstep as an extra
+    vectorization axis — trading bounded extra FLOPs (the rollout is the cheap
+    pass) for uniform, compile-friendly control flow. Acceptance semantics per
+    candidate are identical to `forward_pass`; if no candidate passes, the
+    step fails with status 7 (the reference would continue halving to machine
+    eps, where progress is already negligible — by then gamma < 2^-K).
+    """
+    K = options.ls_speculative
+    dtype = nominal.u.dtype
+    tau = jnp.maximum(options.tau_min, 1.0 - mu)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    gammas = 0.5 ** jnp.arange(K, dtype=dtype)        # descending
+
+    def try_step(gamma):
+        trial = rollout(problem, theta, bounds, gains,
+                        nominal.x, nominal.u, nominal.phi,
+                        nominal.zl, nominal.zu, gamma)
+        finite = (jnp.all(jnp.isfinite(trial.x))
+                  & jnp.all(jnp.isfinite(trial.u))
+                  & jnp.all(jnp.isfinite(trial.phi))
+                  & jnp.all(jnp.isfinite(trial.zl))
+                  & jnp.all(jnp.isfinite(trial.zu))
+                  & jnp.all(jnp.isfinite(trial.c_raw)))
+        frac_ok = fraction_to_boundary_ok(
+            trial, nominal.il, nominal.iu, nominal.zl, nominal.zu, tau)
+        c_rel = relax_constraints(problem, trial.c_raw, mu)
+        th = jnp.sum(jnp.abs(c_rel))
+        L, J = barrier_lagrangian(problem, theta, bounds,
+                                  trial.x, trial.u, c_rel,
+                                  trial.phi, trial.il, trial.iu, mu)
+        blocked = filter_blocks(filter_pts, th, L)
+        switching = (dL < 0.0) & (
+            jnp.maximum(-gamma * dL, 0.0) ** options.s_L
+            * gamma ** (1.0 - options.s_L)
+            > options.delta * theta_prev ** options.s_theta)
+        armijo = (L - L_prev - 10.0 * eps * jnp.abs(L_prev)
+                  <= options.eta_L * gamma * dL)
+        suff = ((th <= (1.0 - options.gamma_theta) * theta_prev)
+                | (L <= L_prev - options.gamma_L * theta_prev))
+        use_armijo = (th <= min_primal_1) & switching
+        accept = (finite & frac_ok & ~blocked
+                  & jnp.where(use_armijo, armijo, suff))
+        counted = finite & frac_ok & ~accept
+        return trial, th, L, J, accept, counted, armijo, switching
+
+    trials, ths, Ls, Js, accepts, counted, armijos, switchings = jax.vmap(
+        try_step)(gammas)
+
+    found = jnp.any(accepts)
+    idx = jnp.argmax(accepts)          # first (largest) accepted gamma
+    pick = lambda a: jax.tree.map(lambda x: x[idx], a)
+    num_ls = jnp.sum(jnp.where(jnp.arange(K) < idx, counted, False))
+    return ForwardResult(
+        trial=pick(trials), theta_next=ths[idx], L_next=Ls[idx],
+        objective=Js[idx],
+        step_size=gammas[idx],
+        num_ls=num_ls.astype(jnp.int32),
+        status=jnp.where(found, jnp.int32(0), jnp.int32(7)),
+        armijo_passed=armijos[idx], switching=switchings[idx])

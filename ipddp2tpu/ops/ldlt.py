@@ -50,7 +50,7 @@ class LDLTFactors(NamedTuple):
                                   # factorization is of A[perm][:, perm]
 
 
-def ldlt_factor(A: Array, *, atol: float = 0.0) -> LDLTFactors:
+def ldlt_factor(A: Array, *, atol: float = 0.0, unroll: bool = True) -> LDLTFactors:
     """Unpivoted LDL^T of a symmetric matrix A (uses the lower triangle).
 
     Returns factors plus the pivot sign counts. By Sylvester's law these are
@@ -88,7 +88,7 @@ def ldlt_factor(A: Array, *, atol: float = 0.0) -> LDLTFactors:
         M = M.at[j, j].set(dj)
         return M
 
-    ld = jax.lax.fori_loop(0, m, col_step, A, unroll=True)
+    ld = jax.lax.fori_loop(0, m, col_step, A, unroll=unroll)
 
     d = jnp.diagonal(ld)
     finite = jnp.all(jnp.isfinite(ld))
@@ -98,7 +98,7 @@ def ldlt_factor(A: Array, *, atol: float = 0.0) -> LDLTFactors:
     return LDLTFactors(ld=ld, ok=ok, n_pos=n_pos, n_zero=n_zero)
 
 
-def ldlt_factor_pivoted(A: Array, *, atol: float = 0.0) -> LDLTFactors:
+def ldlt_factor_pivoted(A: Array, *, atol: float = 0.0, unroll: bool = True) -> LDLTFactors:
     """LDL^T with symmetric maximum-|diagonal| (greedy 1x1) pivoting.
 
     The permutation is a congruence, so pivot signs still give the exact
@@ -143,7 +143,7 @@ def ldlt_factor_pivoted(A: Array, *, atol: float = 0.0) -> LDLTFactors:
     # the matrix under shard_map (a constant arange is "unvarying" and trips
     # the scan carry VMA check inside sharded computations).
     idx0 = idx + (A[0, 0] * 0).astype(idx.dtype)
-    ld, perm = jax.lax.fori_loop(0, m, col_step, (A, idx0), unroll=True)
+    ld, perm = jax.lax.fori_loop(0, m, col_step, (A, idx0), unroll=unroll)
 
     d = jnp.diagonal(ld)
     finite = jnp.all(jnp.isfinite(ld))

@@ -82,6 +82,10 @@ class Options:
                                         # reference loops until reg > reg_max which
                                         # takes <= ~56 bumps from reg_1 with x8 steps
     refine_steps: int = 1               # iterative refinement sweeps on KKT solves
+    ldlt_unroll: bool = True            # unroll the factorization column loop
+                                        # (faster dispatch; False shrinks the
+                                        # compiled program for slow-compile
+                                        # targets)
     kkt_residual_rtol: float = 1e-6     # backward-stability gate on refined KKT
                                         # solves; failing it triggers the same
                                         # reg-bump escape as wrong inertia
@@ -89,3 +93,7 @@ class Options:
                                         # "eigh" (oracle: exact inertia, robust)
     ls_min_step: float = 0.0            # extra lower bound on line-search step size
                                         # (0 = machine eps like the reference)
+    ls_speculative: int = 0             # 0 = reference backtracking while_loop;
+                                        # K > 0 = evaluate gammas 2^-0..2^-(K-1)
+                                        # in one batched rollout and pick the
+                                        # largest acceptable (TPU fast path)

@@ -28,7 +28,8 @@ from .backward import backward_pass
 from .derivatives import (DerivativeBundle, evaluate_constraints,
                           evaluate_derivatives, evaluate_objective,
                           relax_constraints)
-from .forward import Trial, barrier_lagrangian, forward_pass
+from .forward import (Trial, barrier_lagrangian, forward_pass,
+                      forward_pass_speculative)
 from .options import Options
 from .problem import Bounds, Problem
 
@@ -315,7 +316,9 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
             j=s.j + 1)
 
     def do_forward(s: SolverState):
-        fw = forward_pass(
+        fw_fn = (forward_pass_speculative if options.ls_speculative > 0
+                 else forward_pass)
+        fw = fw_fn(
             problem, theta, bounds, bw.gains, _nominal_trial(s),
             bw.dL, s.mu, s.theta_curr, s.L_curr, s.min_primal_1,
             s.filter_pts, options)
@@ -351,4 +354,7 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
             lambda s: s._replace(converged=jnp.ones((), bool)),
             active, s),
         s)
+    if options.verbose:
+        from .utils.printing import iteration_logger
+        iteration_logger(s, options)
     return s
