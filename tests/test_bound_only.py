@@ -1,0 +1,30 @@
+"""Bound-only problems (nc = 0): cartpole swing-up and quadrotor
+(BASELINE.json configs). Exercises the solver without equality constraints."""
+
+import jax.numpy as jnp
+
+from ipddp2tpu import Options, solve
+from ipddp2tpu.models import cartpole_swingup as cs
+from ipddp2tpu.models import quadrotor as qr
+
+
+def test_cartpole_swingup_converges():
+    sol = solve(cs.problem(), cs.bounds(), cs.initial_state(),
+                cs.initial_controls(),
+                options=Options(optimality_tolerance=1e-6,
+                                max_iterations=500))
+    assert bool(sol.converged), int(sol.status)
+    # swing-up reached: pole angle near pi
+    assert abs(float(sol.x[-1, 1]) - jnp.pi) < 0.1
+    # bound respected
+    assert float(jnp.max(jnp.abs(sol.u[:, 0]))) <= cs.FORCE_LIMIT + 1e-8
+
+
+def test_quadrotor_converges():
+    sol = solve(qr.problem(), qr.bounds(), qr.initial_state(),
+                qr.initial_controls(),
+                options=Options(optimality_tolerance=1e-6,
+                                max_iterations=500))
+    assert bool(sol.converged), int(sol.status)
+    assert float(jnp.linalg.norm(sol.x[-1, :3] - jnp.asarray(qr.GOAL))) < 0.1
+    assert float(jnp.min(sol.u)) >= -1e-9
