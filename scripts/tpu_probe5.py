@@ -38,8 +38,16 @@ t0 = time.time()
 sol = fn(*args); jax.block_until_ready(sol.converged)
 print(f"iters={iters} batch={batch} spec={spec} compile+run:",
       round(time.time() - t0, 2), flush=True)
+# time with FRESH inputs (the relay memoizes identical executions)
+if batch == 0:
+    args2 = (bounds, x1 + 1e-3, u0, theta)
+else:
+    keys = jax.random.split(jax.random.PRNGKey(1), batch)
+    thetas2, f2, t2, x2 = jax.vmap(concar.random_instance)(keys)
+    args2 = (concar.bounds(f2, t2), x2,
+             jnp.broadcast_to(u0, (batch, concar.T, concar.NU)), thetas2)
 t0 = time.time()
-sol = fn(*args); jax.block_until_ready(sol.converged)
+sol = fn(*args2); jax.block_until_ready(sol.converged)
 dt = time.time() - t0
 print("run:", round(dt, 3), "s; per-iter:", round(dt / max(iters,1), 4),
-      flush=True)
+      "k:", int(jnp.max(sol.iterations)), flush=True)
