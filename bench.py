@@ -63,11 +63,13 @@ def main():
     thetas_w, f_w, t_w, x1_w = jax.vmap(
         lambda k: concar.random_instance(k, dtype=dtype))(keys_w)
     sol = run(concar.bounds(f_w, t_w, dtype=dtype), x1_w, u0, thetas_w)
-    jax.block_until_ready(sol.converged)
+    import numpy as _np
+    _np.asarray(sol.converged)
 
     t0 = time.time()
     sol = run(bounds, x1s, u0, thetas)
-    jax.block_until_ready(sol.converged)
+    import numpy as np
+    np.asarray(sol.converged)   # host read: async backends may not block
     wall = time.time() - t0
 
     stats = batch_stats(sol)

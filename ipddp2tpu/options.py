@@ -82,6 +82,10 @@ class Options:
                                         # reference loops until reg > reg_max which
                                         # takes <= ~56 bumps from reg_1 with x8 steps
     refine_steps: int = 1               # iterative refinement sweeps on KKT solves
+    backward_mode: str = "scan"         # "scan" (sequential lax.scan, matches
+                                        # the reference) or "parallel"
+                                        # (associative-scan Riccati: O(log T)
+                                        # depth, same semantics)
     ldlt_unroll: bool = True            # unroll the factorization column loop
                                         # (faster dispatch; False shrinks the
                                         # compiled program for slow-compile

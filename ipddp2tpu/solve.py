@@ -278,7 +278,12 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
         quasi_newton=options.quasi_newton)
     c_rel = relax_constraints(problem, s.c_raw, s.mu)
     nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
-    bw = backward_pass(problem, deriv, nominal, s.mu, s.reg_last, options)
+    if options.backward_mode == "parallel":
+        from .parallel.priccati import backward_pass_parallel
+        bw = backward_pass_parallel(problem, deriv, nominal, s.mu,
+                                    s.reg_last, options)
+    else:
+        bw = backward_pass(problem, deriv, nominal, s.mu, s.reg_last, options)
     s = s._replace(lam=bw.lam, reg_last=bw.reg)
 
     d_inf = dual_error(problem, deriv, bounds,

@@ -34,8 +34,13 @@ def debug_run(problem, bounds, x1, u_init, theta=None,
                                      quasi_newton=options.quasi_newton)
         c_rel = relax_constraints(problem, s.c_raw, s.mu)
         nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
-        bw = backward_pass(problem, deriv, nominal, s.mu, s.reg_last,
-                           options)
+        if options.backward_mode == "parallel":
+            from ipddp2tpu.parallel.priccati import backward_pass_parallel
+            bw = backward_pass_parallel(problem, deriv, nominal, s.mu,
+                                        s.reg_last, options)
+        else:
+            bw = backward_pass(problem, deriv, nominal, s.mu, s.reg_last,
+                               options)
         d_inf = dual_error(problem, deriv, bounds, s.phi, s.zl, s.zu,
                            bw.lam, options)
         return bw, c_rel, d_inf
@@ -108,7 +113,9 @@ def debug_run(problem, bounds, x1, u_init, theta=None,
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "cartpole"
     method = sys.argv[2] if len(sys.argv) > 2 else "ldl"
-    opts = Options(optimality_tolerance=1e-7, inertia_method=method)
+    bmode = sys.argv[3] if len(sys.argv) > 3 else "scan"
+    opts = Options(optimality_tolerance=1e-7, inertia_method=method,
+                   backward_mode=bmode)
     if name == "cartpole":
         from ipddp2tpu.models import cartpole as m
         debug_run(m.problem(), m.bounds(), m.initial_state(),

@@ -25,13 +25,14 @@ def bench_cfg(iters, batch, spec):
                       max_iterations=iters, ls_speculative=spec)
     fn = jax.jit(lambda b, x, u, th: solve_batch(
         problem, b, x, u, theta=th, options=options))
+    import numpy as np
     a1 = make_batch(batch, 0)
     t0 = time.time()
-    sol = fn(*a1); jax.block_until_ready(sol.converged)
+    sol = fn(*a1); np.asarray(sol.converged)   # host read forces completion
     c = time.time() - t0
     a2 = make_batch(batch, 1)
     t0 = time.time()
-    sol = fn(*a2); jax.block_until_ready(sol.converged)
+    sol = fn(*a2); np.asarray(sol.converged)
     r = time.time() - t0
     kmax = int(jnp.max(sol.iterations))
     conv = int(jnp.sum(sol.converged))
