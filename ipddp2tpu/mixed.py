@@ -1,0 +1,89 @@
+"""Mixed-precision continuation: f32 bulk phase + f64 certification endgame.
+
+The reference runs Float64 end to end (its LAPACK path is CPU-native f64);
+on TPU, f64 is software-emulated and ~an order of magnitude slower than f32,
+while f32 alone cannot certify a 1e-7 KKT point (eps_f32 ~ 1.2e-7). The
+continuation exploits the interior-point structure: the barrier path down to
+mu ~ 1e-4 is insensitive to f32 rounding, so the bulk of the iterations run
+in f32; the converged-in-f32 state then warm-starts (SURVEY.md §5's
+warm-start API) an f64 solve that only has the endgame left — typically a
+handful of iterations at small mu.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .derivatives import evaluate_constraints, relax_constraints
+from .forward import barrier_lagrangian
+from .options import Options
+from .problem import Bounds, Problem
+from .solve import Solution, SolverState, initialize, run
+
+
+def _cast_state(state: SolverState, dtype) -> SolverState:
+    def cast(a):
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    return jax.tree.map(cast, state)
+
+
+def promote_state(problem: Problem, bounds: Bounds, state: SolverState,
+                  theta, options: Options) -> SolverState:
+    """Cast an f32 state to f64 and refresh the merit bookkeeping in full
+    precision (constraints, barrier Lagrangian, filter reset)."""
+    s = _cast_state(state, jnp.float64)
+    c_raw = evaluate_constraints(problem, theta, s.x, s.u)
+    c_rel = relax_constraints(problem, c_raw, s.mu)
+    L, J = barrier_lagrangian(problem, theta, bounds, s.x, s.u, c_rel,
+                              s.phi, s.il, s.iu, s.mu)
+    from .solve import _reset_filter
+
+    return s._replace(
+        c_raw=c_raw, objective=J, L_curr=L,
+        theta_curr=jnp.sum(jnp.abs(c_rel)),
+        filter_pts=_reset_filter(
+            jnp.zeros((options.filter_capacity, 2), jnp.float64),
+            s.max_primal_1),
+        filter_n=jnp.int32(1),
+        status=jnp.int32(0), converged=jnp.zeros((), bool))
+
+
+def solve_mixed(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
+                options: Optional[Options] = None,
+                phase1_tolerance: float = 3e-4,
+                return_state: bool = False):
+    """Two-phase solve. `bounds`/`x1`/`u_init`/`theta` may be f32 or f64;
+    phase 1 runs in f32 to `phase1_tolerance`, phase 2 in f64 to
+    `options.optimality_tolerance`. Fully jittable / vmappable."""
+    options = options or Options()
+    f32 = jnp.float32
+    cast32 = lambda a: (a.astype(f32)
+                        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                        else a)
+    bounds32 = jax.tree.map(cast32, bounds)
+    theta32 = jax.tree.map(cast32, theta) if theta is not None else None
+    opts32 = options.__class__(**{
+        **options.__dict__, "optimality_tolerance": phase1_tolerance})
+
+    s32 = initialize(problem, theta32, bounds32,
+                     jnp.asarray(x1, f32), jnp.asarray(u_init, f32), opts32)
+    s32 = run(problem, bounds32, s32, theta32, opts32)
+
+    cast64 = lambda a: (a.astype(jnp.float64)
+                        if jnp.issubdtype(jnp.asarray(a).dtype,
+                                          jnp.floating) else a)
+    bounds64 = jax.tree.map(cast64, bounds)
+    theta64 = jax.tree.map(cast64, theta) if theta is not None else None
+    s64 = promote_state(problem, bounds64, s32, theta64, options)
+    s64 = run(problem, bounds64, s64, theta64, options)
+
+    sol = Solution(
+        x=s64.x, u=s64.u, phi=s64.phi, zl=s64.zl, zu=s64.zu, lam=s64.lam,
+        objective=s64.objective, iterations=s64.k, status=s64.status,
+        converged=s64.converged, primal_inf=s64.primal_inf,
+        dual_inf=s64.dual_inf, cs_inf=s64.cs_inf, mu=s64.mu)
+    return (sol, s64) if return_state else sol
