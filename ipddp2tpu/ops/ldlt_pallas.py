@@ -109,13 +109,16 @@ def _kernel(k_ref, rhs_ref, x_ref, npos_ref, ok_ref, *, m, nk, refine):
 
 @partial(jax.jit, static_argnames=("refine", "interpret"))
 def ldlt_solve_batched_pallas(K, rhs, *, refine: int = 1,
-                              interpret: bool = False):
+                              interpret: bool = None):
     """Batched symmetric-indefinite solve with inertia, as one fused kernel.
 
     K: [B, m, m] float32, rhs: [B, m, k] float32. B must be a multiple of
     TILE_B (pad with identity systems). Returns (X [B, m, k],
     n_pos [B] int32, ok [B] bool).
     """
+    if interpret is None:
+        # run the kernel for real on TPU, interpreted elsewhere (tests/CPU)
+        interpret = jax.default_backend() != "tpu"
     B, m, _ = K.shape
     nk = rhs.shape[-1]
     assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"

@@ -188,9 +188,9 @@ def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
 
     lam = costate_scan(deriv, phi)
 
-    def stage_gains(fx, fu, fH, lx, lu, lxx, lux, luu, cx, cu, cH,
-                    c_t, il_t, iu_t, phi_t, zl_t, zu_t, lam_n,
-                    Vx_n, Vxx_n, reg, delta_c):
+    def assemble(fx, fu, fH, lx, lu, lxx, lux, luu, cx, cu, cH,
+                 c_t, il_t, iu_t, phi_t, zl_t, zu_t, lam_n,
+                 Vx_n, Vxx_n, reg, delta_c):
         sl = 1.0 / il_t
         su = 1.0 / iu_t
         sig_l = zl_t * sl
@@ -215,34 +215,67 @@ def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
         rhs = jnp.concatenate(
             [jnp.concatenate([-Qu[:, None], -Bm], axis=1),
              jnp.concatenate([-c_t[:, None], -cx], axis=1)], axis=0)
-        factors = ldlt_factor_pivoted(K, unroll=options.ldlt_unroll)
-        X, solve_ok = ldlt_solve_refined(
-            factors, K, rhs, refine_steps=options.refine_steps,
-            check_residual=True, residual_rtol=options.kkt_residual_rtol)
-        ok = factors.ok & (factors.n_pos == nu) & solve_ok
-        singular = factors.n_zero > 0
-        alpha, beta = X[:nu, 0], X[:nu, 1:]
-        psi, omega = X[nu:, 0], X[nu:, 1:]
-        chi_l = mu * sl - zl_t - sig_l * alpha
-        zeta_l = -sig_l[:, None] * beta
-        chi_u = mu * su - zu_t + sig_u * alpha
-        zeta_u = sig_u[:, None] * beta
-        dL_t = Qu @ alpha + c_t @ psi
-        return (Gains(alpha, beta, psi, omega, chi_l, zeta_l, chi_u, zeta_u),
-                dL_t, ok, singular)
+        return K, rhs, Qu, sig_l, sig_u, sl, su
+
+    def batched_kkt_solve(K, rhs):
+        """[T, m, m] systems -> (X, ok, singular). XLA vmapped LDLT by
+        default; the fused Pallas kernel when enabled (f32 on TPU)."""
+        if options.use_pallas_kkt and dtype == jnp.float32:
+            from ..ops.ldlt_pallas import TILE_B, ldlt_solve_batched_pallas
+
+            Tpad = ((T + TILE_B - 1) // TILE_B) * TILE_B
+            m = K.shape[-1]
+            eye = jnp.broadcast_to(jnp.eye(m, dtype=dtype),
+                                   (Tpad - T, m, m))
+            Kp = jnp.concatenate([K, eye], axis=0)
+            rp = jnp.concatenate(
+                [rhs, jnp.zeros((Tpad - T,) + rhs.shape[1:], dtype)], axis=0)
+            X, n_pos, okp = ldlt_solve_batched_pallas(
+                Kp, rp, refine=options.refine_steps)
+            # residual gate (vectorized, outside the kernel)
+            r = rp - jnp.einsum("tij,tjk->tik", Kp, X)
+            scale = (jnp.linalg.norm(Kp, axis=(1, 2))
+                     * jnp.linalg.norm(X, axis=(1, 2))
+                     + jnp.linalg.norm(rp, axis=(1, 2)))
+            res_ok = (jnp.linalg.norm(r, axis=(1, 2))
+                      <= options.kkt_residual_rtol * scale)
+            ok = okp & (n_pos == nu) & res_ok
+            singular = ~okp
+            return X[:T], ok[:T], singular[:T]
+
+        def one(K_t, rhs_t):
+            factors = ldlt_factor_pivoted(K_t, unroll=options.ldlt_unroll)
+            X, solve_ok = ldlt_solve_refined(
+                factors, K_t, rhs_t, refine_steps=options.refine_steps,
+                check_residual=True,
+                residual_rtol=options.kkt_residual_rtol)
+            ok = factors.ok & (factors.n_pos == nu) & solve_ok
+            return X, ok, factors.n_zero > 0
+
+        return jax.vmap(one)(K, rhs)
 
     def attempt(reg, delta_c):
         elems = _stage_blocks(problem, deriv, nominal, mu, lam[1:],
                               reg, delta_c, options)
         Vx_next, Vxx_next = parallel_value_scan(
             problem, elems, deriv.lTx, deriv.lTxx)
-        gains, dL_t, ok, singular = jax.vmap(
-            stage_gains, in_axes=(0,) * 20 + (None, None))(
+        K, rhs, Qu, sig_l, sig_u, sl, su = jax.vmap(
+            assemble, in_axes=(0,) * 20 + (None, None))(
             deriv.fx, deriv.fu, deriv.fH,
             deriv.lx, deriv.lu, deriv.lxx, deriv.lux, deriv.luu,
             deriv.cx, deriv.cu, deriv.cH_phi,
             c_rel, il, iu, phi, zl, zu, lam[1:],
             Vx_next, Vxx_next, reg, delta_c)
+        X, ok, singular = batched_kkt_solve(K, rhs)
+        alpha, beta = X[:, :nu, 0], X[:, :nu, 1:]
+        psi, omega = X[:, nu:, 0], X[:, nu:, 1:]
+        chi_l = mu * sl - zl - sig_l * alpha
+        zeta_l = -sig_l[..., None] * beta
+        chi_u = mu * su - zu + sig_u * alpha
+        zeta_u = sig_u[..., None] * beta
+        gains = Gains(alpha, beta, psi, omega, chi_l, zeta_l, chi_u, zeta_u)
+        dL_t = (jnp.einsum("tu,tu->t", Qu, alpha)
+                + jnp.einsum("tc,tc->t", c_rel, psi))
         fail = ~jnp.all(ok)
         # reference semantics: delta_c latches from the first failing stage
         # (reference: src/inertia_correction.jl:263-265); here "first" is the

@@ -53,3 +53,19 @@ def test_pallas_kernel_indefinite_inertia():
     w = np.linalg.eigvalsh(K.astype(np.float64))
     np.testing.assert_array_equal(np.asarray(npos), (w > 0).sum(axis=1))
     assert bool(jnp.all(ok))
+
+
+def test_pallas_in_solver_f32():
+    """Full f32 solve with backward_mode='parallel' + the Pallas KKT kernel
+    (interpret mode on CPU) reaches the coarse-tolerance optimum."""
+    from ipddp2tpu import Options, solve
+    from ipddp2tpu.models import double_integrator as di
+
+    f32 = jnp.float32
+    sol = solve(di.problem(), di.bounds(f32),
+                di.initial_state(f32), di.initial_controls(f32),
+                options=Options(optimality_tolerance=3e-4,
+                                backward_mode="parallel",
+                                use_pallas_kkt=True, max_iterations=200))
+    assert bool(sol.converged), int(sol.status)
+    assert abs(float(sol.objective) - di.GOLDEN_OBJECTIVE) < 1e-2
