@@ -168,12 +168,20 @@ class Solver:
             upper=jnp.asarray(np.stack([b.upper for b in bounds[:T]])))
         self.options = options or Options()
         self.solution: Optional[Solution] = None
+        self.wall_time: float = 0.0
 
     def solve(self, x1, u_init) -> Solution:
         """Reference `solve!(solver, x1, u_init)` (reference: src/solve.jl:1-4).
 
         u_init: [T, nu] array or reference-style list of per-stage vectors
-        (a trailing empty terminal entry is ignored)."""
+        (a trailing empty terminal entry is ignored). Wall-clock time of the
+        call (including compile on first use) lands in `self.wall_time`,
+        mirroring the reference's SolverData timers (reference:
+        src/solve.jl:86-87)."""
+        import time
+
+        import numpy as _np
+
         if isinstance(u_init, (list, tuple)):
             u_init = [np.asarray(v) for v in u_init]
             if len(u_init) == self.problem.T + 1 and u_init[-1].size == 0:
@@ -181,8 +189,11 @@ class Solver:
             u_init = np.stack(u_init)
         x1 = jnp.asarray(x1)
         u_init = jnp.asarray(u_init, dtype=x1.dtype)
+        t0 = time.time()
         self.solution = solve(self.problem, self.bounds, x1, u_init,
                               options=self.options)
+        _np.asarray(self.solution.converged)   # force completion
+        self.wall_time = time.time() - t0
         return self.solution
 
 
