@@ -91,7 +91,7 @@ def main():
     tol = float(os.environ.get("BENCH_TOL", "1e-7"))
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
     ladder = os.environ.get(
-        "BENCH_LADDER", "256:mixed,64:mixed,8:mixed,8:f64")
+        "BENCH_LADDER", "16:mixed,8:mixed,8:f64")
 
     best = None
     attempts = []
@@ -110,7 +110,7 @@ def main():
                 if best is None or res["value"] > best["value"]:
                     best = res
                 # a working large-batch result is the headline; stop early
-                if res["value"] > 0 and int(batch_s) >= 64:
+                if res["value"] > 0 and int(batch_s) >= 16:
                     break
             else:
                 attempts.append({"batch": int(batch_s), "mode": mode,
