@@ -33,10 +33,13 @@ delta_c = options.delta_c * mu^kappa_c when it is singular — is a bounded
 `lax.while_loop` over the IPOPT-style ladder (reference:
 src/backward_pass.jl:55,191, src/inertia_correction.jl:257-276).
 
-The dynamics second-order contraction uses the costate lam' carried *by this
-scan* (sequential dependence, reference: src/backward_pass.jl:105), so the full
-dynamics Hessians fH are precomputed per iteration and contracted with the
-carry inside the scan body. Everything `vmap`s over problem instances; the
+The dynamics second-order contraction needs the costate lam' (reference:
+src/backward_pass.jl:105); since the costate recursion is affine and
+independent of the value recursion, it is evaluated FIRST as an associative
+scan and the Hessian contraction lam . d2f is pre-computed vectorized over T
+(contract_dynamics_hessian) — the sequential scan body then consumes one
+dense [nz, nz] `second` block per stage and never materializes the full
+[nx, nz, nz] Hessian tensor. Everything `vmap`s over problem instances; the
 restart loop then runs in lockstep with per-instance predicates.
 """
 
@@ -91,13 +94,36 @@ class _StageOut(NamedTuple):
     zeta_l: Array
     chi_u: Array
     zeta_u: Array
-    lam: Array
+
+
+def costate_scan(deriv: DerivativeBundle, phi):
+    """Costate refresh lam_t = r_x + fx' lam_{t+1} (reference:
+    src/backward_pass.jl:183,189) as an associative affine scan over reversed
+    time — available BEFORE the backward sweep, which lets the dynamics
+    Hessians be pre-contracted outside the sequential scan."""
+    r_x = deriv.lx + jnp.einsum("tcx,tc->tx", deriv.cx, phi)
+
+    def comb(a, b):
+        # a = lower scan index (terminal side, inner map), b = outer
+        Ma, va = a
+        Mb, vb = b
+        return Mb @ Ma, (Mb @ va[..., None])[..., 0] + vb
+
+    Ms = jnp.flip(deriv.fx.swapaxes(-1, -2), axis=0)
+    vs = jnp.flip(r_x, axis=0)
+    lam_T = deriv.lTx
+    Mc, vc = jax.lax.associative_scan(comb, (Ms, vs))
+    lam = jnp.flip((Mc @ lam_T[..., None])[..., 0] + vc, axis=0)
+    return jnp.concatenate([lam, lam_T[None]], axis=0)   # [T+1, nx]
 
 
 def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
-              mu, reg, delta_c, options: Options, collect_kkt: bool = False):
+              mu, reg, delta_c, options: Options, second=None,
+              collect_kkt: bool = False):
     """One full backward sweep at fixed (reg, delta_c).
 
+    `second` is the pre-contracted second-order term per stage
+    (lam . d2f + phi . d2c, [T, nz, nz]) or None in quasi-Newton mode.
     Returns (stage outputs, dL, fail, singular_at_first_failure)
     (plus stacked per-stage KKT matrices when collect_kkt, for diagnostics).
     """
@@ -111,8 +137,8 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
     eye_nc = jnp.eye(nc, dtype=dtype)
 
     def stage(carry, xs):
-        Vx_n, Vxx_n, lam_n, dL, fail, singular = carry
-        (fx, fu, fH, lx, lu, lxx, lux, luu, cx, cu, cH,
+        Vx_n, Vxx_n, dL, fail, singular = carry
+        (fx, fu, lx, lu, lxx, lux, luu, cx, cu, sec,
          c_t, il_t, iu_t, phi_t, zl_t, zu_t) = xs
 
         sl = 1.0 / il_t          # 0 where il = +inf (unbounded below)
@@ -129,11 +155,9 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
         Bm = lux + fuV @ fx
 
         if not quasi_newton:
-            fHl = jnp.einsum("i,ijk->jk", lam_n, fH)   # [nz, nz]
-            second = fHl + cH
-            C = C + second[:nx, :nx]
-            Bm = Bm + second[nx:, :nx]
-            H = H + second[nx:, nx:]
+            C = C + sec[:nx, :nx]
+            Bm = Bm + sec[nx:, :nx]
+            H = H + sec[nx:, nx:]
         H = H + reg * eye_nu
 
         m = nu + nc
@@ -183,7 +207,6 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
         # benchmarks, destroying the KKT blocks after ~60 stages).
         Vxx = 0.5 * (Vxx + Vxx.T)
         Vx_pre = lx + cx.T @ phi_t
-        lam_t = Vx_pre + fx.T @ lam_n
         Vx = Vx_pre + beta.T @ Qu + omega.T @ c_t + fx.T @ Vx_n
 
         dL = dL + Qu @ alpha + c_t @ psi
@@ -193,50 +216,60 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
         fail = fail | ~stage_ok
 
         out = _StageOut(alpha, beta, psi, omega,
-                        chi_l, zeta_l, chi_u, zeta_u, lam_t)
+                        chi_l, zeta_l, chi_u, zeta_u)
         if collect_kkt:
             out = (out, (K, rhs, X, stage_ok, factors.n_pos, solve_ok))
-        return (Vx, Vxx, lam_t, dL, fail, singular), out
+        return (Vx, Vxx, dL, fail, singular), out
 
+    nz = nx + nu
     xs = (deriv.fx, deriv.fu,
-          deriv.fH if not quasi_newton else jnp.zeros((T, 0)),
           deriv.lx, deriv.lu, deriv.lxx, deriv.lux, deriv.luu,
           deriv.cx, deriv.cu,
-          deriv.cH_phi if not quasi_newton else jnp.zeros((T, 0)),
+          second if second is not None else jnp.zeros((T, nz, nz), dtype),
           c_rel, il, iu, phi, zl, zu)
 
-    lam_T = deriv.lTx
-    carry0 = (deriv.lTx, deriv.lTxx, lam_T,
+    carry0 = (deriv.lTx, deriv.lTxx,
               jnp.zeros((), dtype),
               jnp.zeros((), bool), jnp.zeros((), bool))
-    (_, _, _, dL, fail, singular), outs = jax.lax.scan(
+    (_, _, dL, fail, singular), outs = jax.lax.scan(
         stage, carry0, xs, reverse=True
     )
     kkt_debug = None
     if collect_kkt:
         outs, kkt_debug = outs
-    lam = jnp.concatenate([outs.lam, lam_T[None]], axis=0)  # [T+1, nx]
     gains = Gains(outs.alpha, outs.beta, outs.psi, outs.omega,
                   outs.chi_l, outs.zeta_l, outs.chi_u, outs.zeta_u)
     if collect_kkt:
-        return gains, lam, dL, fail, singular, kkt_debug
-    return gains, lam, dL, fail, singular
+        return gains, dL, fail, singular, kkt_debug
+    return gains, dL, fail, singular
 
 
 def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
-                  mu, reg_last, options: Options) -> BackwardResult:
+                  mu, reg_last, options: Options, *, lam=None,
+                  second=None) -> BackwardResult:
     """Full backward pass with the inertia-correction restart ladder.
 
     `nominal` = (c_relaxed [T,nc], il [T,nu], iu [T,nu], phi [T,nc],
     zl [T,nu], zu [T,nu]) — the accepted-iterate quantities the recursion
-    reads (reference: src/backward_pass.jl:48-49).
+    reads (reference: src/backward_pass.jl:48-49). `lam`/`second` (costates
+    and pre-contracted second-order terms) are computed here if not supplied
+    by the caller.
     """
     nx, nu, nc, T = problem.nx, problem.nu, problem.nc, problem.T
     dtype = nominal[1].dtype
     zero = jnp.zeros((), dtype)
 
+    if lam is None:
+        lam = costate_scan(deriv, nominal[3])
+    if second is None and not options.quasi_newton:
+        # cH_phi precomputed with nominal phi; dynamics part needs lam
+        second = deriv.cH_phi
+        if deriv.fH is not None:
+            second = second + jnp.einsum("ti,tijk->tjk", lam[1:], deriv.fH)
+
     def attempt(reg, delta_c):
-        return _run_pass(problem, deriv, nominal, mu, reg, delta_c, options)
+        return _run_pass(problem, deriv, nominal, mu, reg, delta_c, options,
+                         second=second)
 
     # The initial attempt always runs with reg = 0, delta_c = 0
     # (reference: src/backward_pass.jl:52-53).
@@ -257,16 +290,16 @@ def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
         return jnp.where(reg == 0.0, first, bumped)
 
     def make_carry(reg, delta_c, result, n):
-        gains, lam, dL, fail, singular = result
-        return (reg, delta_c, gains, lam, dL, fail, singular,
+        gains, dL, fail, singular = result
+        return (reg, delta_c, gains, dL, fail, singular,
                 jnp.asarray(n, jnp.int32))
 
     def cond(carry):
-        reg, _, _, _, _, fail, _, n = carry
+        reg, _, _, _, fail, _, n = carry
         return fail & (reg <= options.reg_max) & (n < options.max_backward_restarts)
 
     def body(carry):
-        reg, delta_c, gains, lam, dL, fail, singular, n = carry
+        reg, delta_c, gains, dL, fail, singular, n = carry
         # The failed attempt determined the new (reg, delta_c)
         # (reference: src/inertia_correction.jl:263-273).
         delta_c_new = jnp.where(
@@ -279,7 +312,7 @@ def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
         return make_carry(reg_new, delta_c_new, result, n + 1)
 
     carry = make_carry(zero, zero, init_result, 0)
-    reg, delta_c, gains, lam, dL, fail, singular, _ = jax.lax.while_loop(
+    reg, delta_c, gains, dL, fail, singular, _ = jax.lax.while_loop(
         cond, body, carry
     )
 

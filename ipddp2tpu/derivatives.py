@@ -65,6 +65,7 @@ def evaluate_derivatives(
     phi: Array,        # [T, nc]  nominal equality duals (for cH contraction)
     *,
     quasi_newton: bool = False,
+    with_dynamics_hessian: bool = False,
 ) -> DerivativeBundle:
     nx, nu, nc, T = problem.nx, problem.nu, problem.nc, problem.T
     nz = nx + nu
@@ -100,8 +101,11 @@ def evaluate_derivatives(
             if not quasi_newton:
                 out["cH_phi"] = jnp.zeros((nz, nz), z_t.dtype)
 
-        if not quasi_newton:
-            out["fH"] = jax.jacfwd(jax.jacfwd(f))(z_t)  # [nx, nz, nz]
+        if with_dynamics_hessian and not quasi_newton:
+            # full [nx, nz, nz] tensor: only for tests/diagnostics — the
+            # solver pre-contracts with the costate instead
+            # (contract_dynamics_hessian), which is O(nz^2) not O(nx nz^2)
+            out["fH"] = jax.jacfwd(jax.jacfwd(f))(z_t)
         return out
 
     stacked = jax.vmap(stage)(z, ts, phi)
@@ -119,6 +123,26 @@ def evaluate_derivatives(
         cH_phi=stacked.get("cH_phi"),
         lTx=lTx, lTxx=lTxx,
     )
+
+
+def contract_dynamics_hessian(problem: Problem, theta, x: Array, u: Array,
+                              lam_next: Array) -> Array:
+    """lam_{t+1} . d2f(z_t) as [T, nz, nz] — the Hessian of the scalar
+    z -> <lam, f(z)> per stage, never materializing the full [nx, nz, nz]
+    tensor (reference: src/dynamics.jl:29-31 builds the same contraction
+    symbolically). The costate is available before the backward sweep via the
+    affine recursion lam_t = r_x + fx' lam_{t+1} (see
+    parallel.priccati.costate_scan), so this runs vectorized over T outside
+    the sequential scan."""
+    nx = problem.nx
+
+    def one(z_t, t, lam_n):
+        f = _zfun(problem.dynamics, nx, t, theta)
+        g = lambda zz: jnp.dot(lam_n, f(zz))
+        return jax.jacfwd(jax.grad(g))(z_t)
+
+    z = jnp.concatenate([x[: problem.T], u], axis=1)
+    return jax.vmap(one)(z, jnp.arange(problem.T), lam_next)
 
 
 def evaluate_objective(problem: Problem, theta, x: Array, u: Array) -> Array:

@@ -92,15 +92,16 @@ def combine(a, b):
 
 
 def _stage_blocks(problem: Problem, deriv: DerivativeBundle, nominal,
-                  mu, lam_next, reg, delta_c, options: Options):
+                  mu, second, reg, delta_c, options: Options):
     """Per-stage local KKT blocks (vmapped over T). Mirrors the condensation
     in backward._run_pass but WITHOUT the fu' Vxx' fu coupling — that arises
-    through composition."""
+    through composition. `second` is the pre-contracted lam.d2f + phi.d2c
+    per stage ([T, nz, nz], zeros in quasi-Newton mode)."""
     nx, nu, nc = problem.nx, problem.nu, problem.nc
     c_rel, il, iu, phi, zl, zu = nominal
 
-    def one(fx, fu, fH, lx, lu, lxx, lux, luu, cx, cu, cH,
-            c_t, il_t, iu_t, phi_t, zl_t, zu_t, lam_n):
+    def one(fx, fu, lx, lu, lxx, lux, luu, cx, cu, sec,
+            c_t, il_t, iu_t, phi_t, zl_t, zu_t):
         dtype = il_t.dtype
         sl = 1.0 / il_t
         su = 1.0 / iu_t
@@ -110,11 +111,9 @@ def _stage_blocks(problem: Problem, deriv: DerivativeBundle, nominal,
         Mx = lux
         R = luu + jnp.diag(sig)
         if not options.quasi_newton:
-            fHl = jnp.einsum("i,ijk->jk", lam_n, fH)
-            second = fHl + cH
-            Q = Q + second[:nx, :nx]
-            Mx = Mx + second[nx:, :nx]
-            R = R + second[nx:, nx:]
+            Q = Q + sec[:nx, :nx]
+            Mx = Mx + sec[nx:, :nx]
+            R = R + sec[nx:, nx:]
         R = R + reg * jnp.eye(nu, dtype=dtype)
 
         r_u = lu + cu.T @ phi_t - mu * sl + mu * su
@@ -142,36 +141,18 @@ def _stage_blocks(problem: Problem, deriv: DerivativeBundle, nominal,
         eta = -(r_x - G.T @ Sir)
         return ValueElement(A=A, b=b, C=C, eta=eta, J=J)
 
-    return jax.vmap(one)(deriv.fx, deriv.fu, deriv.fH,
+    return jax.vmap(one)(deriv.fx, deriv.fu,
                          deriv.lx, deriv.lu, deriv.lxx, deriv.lux, deriv.luu,
-                         deriv.cx, deriv.cu, deriv.cH_phi,
-                         c_rel, il, iu, phi, zl, zu, lam_next)
+                         deriv.cx, deriv.cu, second,
+                         c_rel, il, iu, phi, zl, zu)
 
 
-def costate_scan(deriv: DerivativeBundle, phi):
-    """Costate refresh lam_t = r_x + fx' lam_{t+1} (reference:
-    src/backward_pass.jl:183,189) as an associative affine scan: elements
-    (fx', r_x) compose as (M2 M1, M2 v1 + v2) over reversed time."""
-    r_x = deriv.lx + jnp.einsum("tcx,tc->tx", deriv.cx, phi)
-
-    def comb(a, b):
-        # scan order: a = lower index (inner map, terminal side), b = higher
-        # index (outer map, earlier in time): (b o a)(y) = M_b(M_a y + v_a)+v_b
-        Ma, va = a
-        Mb, vb = b
-        return Mb @ Ma, (Mb @ va[..., None])[..., 0] + vb
-
-    Ms = jnp.flip(deriv.fx.swapaxes(-1, -2), axis=0)
-    vs = jnp.flip(r_x, axis=0)
-    # seed with the terminal costate lam_T = lTx
-    lam_T = deriv.lTx
-    Mc, vc = jax.lax.associative_scan(comb, (Ms, vs))
-    lam = jnp.flip((Mc @ lam_T[..., None])[..., 0] + vc, axis=0)
-    return jnp.concatenate([lam, lam_T[None]], axis=0)   # [T+1, nx]
+from ..backward import costate_scan  # noqa: E402  (canonical home moved)
 
 
 def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
-                           nominal, mu, reg_last, options: Options):
+                           nominal, mu, reg_last, options: Options, *,
+                           lam=None, second=None):
     """Drop-in time-parallel replacement for `backward.backward_pass`.
 
     O(log T) depth: associative costate scan -> stage elements (vmapped local
@@ -185,11 +166,21 @@ def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
     c_rel, il, iu, phi, zl, zu = nominal
     dtype = il.dtype
     zero = jnp.zeros((), dtype)
+    nz = nx + nu
 
-    lam = costate_scan(deriv, phi)
+    if lam is None:
+        lam = costate_scan(deriv, phi)
+    if second is None:
+        if options.quasi_newton:
+            second = jnp.zeros((T, nz, nz), dtype)
+        else:
+            second = deriv.cH_phi
+            if deriv.fH is not None:
+                second = second + jnp.einsum("ti,tijk->tjk", lam[1:],
+                                             deriv.fH)
 
-    def assemble(fx, fu, fH, lx, lu, lxx, lux, luu, cx, cu, cH,
-                 c_t, il_t, iu_t, phi_t, zl_t, zu_t, lam_n,
+    def assemble(fx, fu, lx, lu, lxx, lux, luu, cx, cu, sec,
+                 c_t, il_t, iu_t, phi_t, zl_t, zu_t,
                  Vx_n, Vxx_n, reg, delta_c):
         sl = 1.0 / il_t
         su = 1.0 / iu_t
@@ -200,10 +191,8 @@ def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
         H = luu + jnp.diag(sig_l + sig_u) + fuV @ fu
         Bm = lux + fuV @ fx
         if not options.quasi_newton:
-            fHl = jnp.einsum("i,ijk->jk", lam_n, fH)
-            second = fHl + cH
-            Bm = Bm + second[nx:, :nx]
-            H = H + second[nx:, nx:]
+            Bm = Bm + sec[nx:, :nx]
+            H = H + sec[nx:, nx:]
         H = H + reg * jnp.eye(nu, dtype=dtype)
         m = nu + nc
         K = jnp.zeros((m, m), dtype)
@@ -255,16 +244,16 @@ def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
         return jax.vmap(one)(K, rhs)
 
     def attempt(reg, delta_c):
-        elems = _stage_blocks(problem, deriv, nominal, mu, lam[1:],
+        elems = _stage_blocks(problem, deriv, nominal, mu, second,
                               reg, delta_c, options)
         Vx_next, Vxx_next = parallel_value_scan(
             problem, elems, deriv.lTx, deriv.lTxx)
         K, rhs, Qu, sig_l, sig_u, sl, su = jax.vmap(
-            assemble, in_axes=(0,) * 20 + (None, None))(
-            deriv.fx, deriv.fu, deriv.fH,
+            assemble, in_axes=(0,) * 18 + (None, None))(
+            deriv.fx, deriv.fu,
             deriv.lx, deriv.lu, deriv.lxx, deriv.lux, deriv.luu,
-            deriv.cx, deriv.cu, deriv.cH_phi,
-            c_rel, il, iu, phi, zl, zu, lam[1:],
+            deriv.cx, deriv.cu, second,
+            c_rel, il, iu, phi, zl, zu,
             Vx_next, Vxx_next, reg, delta_c)
         X, ok, singular = batched_kkt_solve(K, rhs)
         alpha, beta = X[:, :nu, 0], X[:, :nu, 1:]

@@ -24,10 +24,10 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .backward import backward_pass
-from .derivatives import (DerivativeBundle, evaluate_constraints,
-                          evaluate_derivatives, evaluate_objective,
-                          relax_constraints)
+from .backward import backward_pass, costate_scan
+from .derivatives import (DerivativeBundle, contract_dynamics_hessian,
+                          evaluate_constraints, evaluate_derivatives,
+                          evaluate_objective, relax_constraints)
 from .forward import (Trial, barrier_lagrangian, forward_pass,
                       forward_pass_speculative)
 from .options import Options
@@ -278,12 +278,23 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
         quasi_newton=options.quasi_newton)
     c_rel = relax_constraints(problem, s.c_raw, s.mu)
     nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
+    # costate first (affine associative scan), then pre-contract the dynamics
+    # Hessians vectorized over T — the backward sweep never materializes the
+    # full [T, nx, nz, nz] tensor
+    lam = costate_scan(deriv, s.phi)
+    if options.quasi_newton:
+        second = None
+    else:
+        second = deriv.cH_phi + contract_dynamics_hessian(
+            problem, theta, s.x, s.u, lam[1:])
     if options.backward_mode == "parallel":
         from .parallel.priccati import backward_pass_parallel
         bw = backward_pass_parallel(problem, deriv, nominal, s.mu,
-                                    s.reg_last, options)
+                                    s.reg_last, options, lam=lam,
+                                    second=second)
     else:
-        bw = backward_pass(problem, deriv, nominal, s.mu, s.reg_last, options)
+        bw = backward_pass(problem, deriv, nominal, s.mu, s.reg_last,
+                           options, lam=lam, second=second)
     s = s._replace(lam=bw.lam, reg_last=bw.reg)
 
     d_inf = dual_error(problem, deriv, bounds,

@@ -210,7 +210,8 @@ def test_gains_solve_full_newton_system():
     c = jax.vmap(lambda xt, ut, t: prob.constraints(xt, ut, t, None))(
         x[:T], u, jnp.arange(T))
 
-    deriv = evaluate_derivatives(prob, None, x, u, phi)
+    deriv = evaluate_derivatives(prob, None, x, u, phi,
+                                 with_dynamics_hessian=True)
     options = Options(inertia_method="eigh", refine_steps=2)
     bw = backward_pass(prob, deriv, (c, il, iu, phi, zl, zu),
                        jnp.asarray(mu, jnp.float64), jnp.zeros(()), options)

@@ -70,7 +70,8 @@ def _setup(module, theta, bounds, x1, u0):
     options = Options(optimality_tolerance=1e-7)
     prob = module.problem()
     s = initialize(prob, theta, bounds, x1, u0, options)
-    deriv = evaluate_derivatives(prob, theta, s.x, s.u, s.phi)
+    deriv = evaluate_derivatives(prob, theta, s.x, s.u, s.phi,
+                                 with_dynamics_hessian=True)
     c_rel = relax_constraints(prob, s.c_raw, s.mu)
     nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
     return prob, deriv, nominal, s, options
@@ -94,7 +95,8 @@ def _check(module, theta, bounds, x1, u0, rtol=1e-8, perturb=False):
         il = s.u - bounds.lower
         iu = bounds.upper - s.u
         s = s._replace(x=x, il=il, iu=iu)
-        deriv = evaluate_derivatives(prob, theta, s.x, s.u, s.phi)
+        deriv = evaluate_derivatives(prob, theta, s.x, s.u, s.phi,
+                                     with_dynamics_hessian=True)
         c_raw = jax.vmap(lambda xt, ut, t: prob.eval_constraints(
             xt, ut, t, theta))(s.x[:prob.T], s.u, jnp.arange(prob.T))
         c_rel = relax_constraints(prob, c_raw, s.mu)
@@ -105,7 +107,8 @@ def _check(module, theta, bounds, x1, u0, rtol=1e-8, perturb=False):
     Vx_seq, Vxx_seq = _sequential_values(prob, deriv, nominal,
                                          float(s.mu), np.asarray(lam))
     # parallel scan
-    elems = _stage_blocks(prob, deriv, nominal, s.mu, lam[1:],
+    second = deriv.cH_phi + jnp.einsum("ti,tijk->tjk", lam[1:], deriv.fH)
+    elems = _stage_blocks(prob, deriv, nominal, s.mu, second,
                           jnp.zeros(()), jnp.zeros(()), options)
     Vx_par, Vxx_par = parallel_value_scan(prob, elems, deriv.lTx, deriv.lTxx)
 
