@@ -44,22 +44,35 @@ def worker(batch: int, mode: str, tol: float):
     options = Options(optimality_tolerance=tol, max_iterations=600,
                       ldlt_unroll=False)
     problem = concar.problem()
+    # short per-call device programs: the TPU runtime here kills long
+    # executions, so the solve is chunked and resumed from state on the host
+    chunk = int(os.environ.get("BENCH_CHUNK", "20"))
 
-    def make(seed):
+    def make(seed, dtype=None):
         keys = jax.random.split(jax.random.PRNGKey(seed), batch)
         thetas, f_lims, tau_lims, x1s = jax.vmap(
             concar.random_instance)(keys)
         u0 = jnp.broadcast_to(concar.initial_controls(),
                               (batch, concar.T, concar.NU))
-        return concar.bounds(f_lims, tau_lims), x1s, u0, thetas
+        args = (concar.bounds(f_lims, tau_lims), x1s, u0, thetas)
+        if dtype is not None:
+            cast = lambda a: (a.astype(dtype) if jnp.issubdtype(
+                a.dtype, jnp.floating) else a)
+            args = jax.tree.map(cast, args)
+        return args
+
+    from ipddp2tpu.chunked import solve_chunked
+    from ipddp2tpu.mixed import solve_mixed_chunked
 
     if mode == "mixed":
-        def solve_one(b, x, u, th):
-            return solve_mixed(problem, b, x, u, theta=th, options=options)
-        run = jax.jit(jax.vmap(solve_one, in_axes=(Bounds(0, 0), 0, 0, 0)))
+        def run(b, x, u, th):
+            return solve_mixed_chunked(problem, b, x, u, theta=th,
+                                       options=options, chunk=chunk,
+                                       batched=True)
     else:
-        run = jax.jit(lambda b, x, u, th: solve_batch(
-            problem, b, x, u, theta=th, options=options))
+        def run(b, x, u, th):
+            return solve_chunked(problem, b, x, u, theta=th,
+                                 options=options, chunk=chunk, batched=True)
 
     # warm-up/compile on a different instance set (execution layers may
     # memoize identical runs; async backends only block on host reads)

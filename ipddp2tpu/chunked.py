@@ -1,0 +1,92 @@
+"""Chunked solving: bounded-length device programs resumed from state.
+
+The solver's `lax.while_loop` runs the whole barrier iteration on-device; on
+some deployments a single long-running device program is fragile (the TPU
+runtime here kills executions after roughly a minute of device time). Because
+the entire solver state is one pytree (SURVEY.md §5 checkpoint/warm-start
+design), the loop chunks cleanly: run at most `chunk` iterations per jitted
+call, inspect convergence on the host, resume. Each resume re-enters
+`run()` with the carried state — bitwise the same trajectory as the single
+long program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .options import Options
+from .problem import Bounds, Problem
+from .solve import Solution, SolverState, initialize, run
+
+
+def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
+                  options: Optional[Options] = None, chunk: int = 25,
+                  batched: bool = False, return_state: bool = False):
+    """Solve (a batch of) instances with host-resumed iteration chunks.
+
+    With `batched`, all array arguments carry a leading instance axis and the
+    chunk loop continues until every instance converged/failed or the
+    iteration budget is exhausted.
+    """
+    options = options or Options()
+    total = options.max_iterations
+
+    init = initialize if not batched else jax.vmap(
+        lambda b, x, u, th: initialize(problem, th, b, x, u, options),
+        in_axes=(Bounds(0, 0), 0, 0, None if theta is None else 0))
+
+    if batched:
+        state = init(bounds, x1, u_init, theta)
+    else:
+        state = initialize(problem, theta, bounds, x1, u_init, options)
+
+    state = run_chunked(problem, bounds, state, theta, options,
+                        chunk=chunk, batched=batched)
+
+    sol = Solution(
+        x=state.x, u=state.u, phi=state.phi, zl=state.zl, zu=state.zu,
+        lam=state.lam, objective=state.objective, iterations=state.k,
+        status=state.status, converged=state.converged,
+        primal_inf=state.primal_inf, dual_inf=state.dual_inf,
+        cs_inf=state.cs_inf, mu=state.mu)
+    return (sol, state) if return_state else sol
+
+
+def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
+                options: Optional[Options] = None, chunk: int = 25,
+                batched: bool = False):
+    """Continue `run` from an existing state in host-resumed chunks
+    (the warm-start entry point for chunked execution)."""
+    options = options or Options()
+    total = options.max_iterations
+
+    @jax.jit
+    def run_chunk(state, bounds, theta, upto):
+        if batched:
+            fn = jax.vmap(
+                lambda s, b, th: run(problem, b, s, th, options,
+                                     k_limit=upto),
+                in_axes=(0, Bounds(0, 0), None if theta is None else 0))
+            return fn(state, bounds, theta)
+        return run(problem, bounds, state, theta, options, k_limit=upto)
+
+    done = int(np.asarray(state.k).max()) if batched else int(
+        np.asarray(state.k))
+    while done < total:
+        upto = min(done + chunk, total)
+        state = run_chunk(state, bounds, theta, jnp.int32(upto))
+        status = np.asarray(state.status)
+        converged = np.asarray(state.converged)
+        active = (status == 8) & ~converged
+        done = upto
+        if not active.any():
+            break
+        state = state._replace(
+            status=jnp.where(jnp.asarray(active), jnp.int32(0),
+                             state.status))
+    return state

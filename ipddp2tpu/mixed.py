@@ -87,3 +87,48 @@ def solve_mixed(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
         converged=s64.converged, primal_inf=s64.primal_inf,
         dual_inf=s64.dual_inf, cs_inf=s64.cs_inf, mu=s64.mu)
     return (sol, s64) if return_state else sol
+
+
+def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
+                        theta=None, options: Optional[Options] = None,
+                        phase1_tolerance: float = 3e-4, chunk: int = 25,
+                        batched: bool = False):
+    """Chunked two-phase solve: f32 bulk phase, f64 endgame, each as
+    host-resumed short device programs (for runtimes that kill long
+    executions). Batched variant vmaps over a leading instance axis."""
+    from .chunked import run_chunked, solve_chunked
+
+    options = options or Options()
+    f32 = jnp.float32
+    cast32 = lambda a: (a.astype(f32)
+                        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                        else a)
+    b32 = jax.tree.map(cast32, bounds)
+    th32 = jax.tree.map(cast32, theta) if theta is not None else None
+    opts32 = options.__class__(**{
+        **options.__dict__, "optimality_tolerance": phase1_tolerance})
+
+    _, s32 = solve_chunked(problem, b32, jax.tree.map(cast32, x1),
+                           jax.tree.map(cast32, u_init), theta=th32,
+                           options=opts32, chunk=chunk, batched=batched,
+                           return_state=True)
+
+    cast64 = lambda a: (a.astype(jnp.float64)
+                        if jnp.issubdtype(jnp.asarray(a).dtype,
+                                          jnp.floating) else a)
+    b64 = jax.tree.map(cast64, bounds)
+    th64 = jax.tree.map(cast64, theta) if theta is not None else None
+    if batched:
+        s64 = jax.vmap(
+            lambda st, bb, tt: promote_state(problem, bb, st, tt, options),
+            in_axes=(0, Bounds(0, 0), None if theta is None else 0))(
+            s32, b64, th64)
+    else:
+        s64 = promote_state(problem, b64, s32, th64, options)
+    s64 = run_chunked(problem, b64, s64, th64, options, chunk=chunk,
+                      batched=batched)
+    return Solution(
+        x=s64.x, u=s64.u, phi=s64.phi, zl=s64.zl, zu=s64.zu, lam=s64.lam,
+        objective=s64.objective, iterations=s64.k, status=s64.status,
+        converged=s64.converged, primal_inf=s64.primal_inf,
+        dual_inf=s64.dual_inf, cs_inf=s64.cs_inf, mu=s64.mu)

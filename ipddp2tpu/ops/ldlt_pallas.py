@@ -50,7 +50,8 @@ def _kernel(k_ref, rhs_ref, x_ref, npos_ref, ok_ref, *, m, nk, refine):
     for j in range(m):
         diag = jnp.stack([A[i, i, :] for i in range(m)], axis=0)   # [m, B]
         cand = jnp.where(eliminated, -jnp.inf, jnp.abs(diag))
-        r = jnp.argmax(cand, axis=0).astype(jnp.int32)             # [B]
+        # Mosaic requires an int32 index dtype for argmax lowering
+        r = jax.lax.argmax(cand, 0, jnp.int32)                     # [B]
         onehot = (row_ids == r[None, :])                           # [m, B]
         d_j = jnp.sum(jnp.where(onehot, diag, 0.0), axis=0)        # [B]
 

@@ -251,13 +251,22 @@ def iteration(problem: Problem, bounds: Bounds, s: SolverState, theta,
 
 
 def run(problem: Problem, bounds: Bounds, state: SolverState, theta,
-        options: Options) -> SolverState:
-    """The main iteration loop on an initialized state."""
+        options: Options, k_limit=None) -> SolverState:
+    """The main iteration loop on an initialized state.
+
+    `k_limit` (runtime scalar, default options.max_iterations) bounds the
+    iteration counter for this call — the chunked-execution hook: resuming
+    `run` on the returned state with a higher limit continues the identical
+    trajectory."""
     tol = options.optimality_tolerance
     num_bounds = bounds.num_bounds
+    if k_limit is None:
+        k_limit = options.max_iterations
+    k_limit = jnp.minimum(jnp.asarray(k_limit, jnp.int32),
+                          options.max_iterations)
 
     def cond(s: SolverState):
-        return ((s.k < options.max_iterations)
+        return ((s.k < k_limit)
                 & (s.status == 0) & (~s.converged))
 
     def body(s: SolverState):
@@ -266,7 +275,7 @@ def run(problem: Problem, bounds: Bounds, state: SolverState, theta,
     state = jax.lax.while_loop(cond, body, state)
     state = state._replace(status=jnp.where(
         (~state.converged) & (state.status == 0)
-        & (state.k >= options.max_iterations),
+        & (state.k >= k_limit),
         jnp.int32(8), state.status))
     return state
 
