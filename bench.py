@@ -29,6 +29,9 @@ def worker(batch: int, mode: str, tol: float):
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # TPU matmuls default to bf16 passes; the f32 phase of the mixed solver
+    # needs true f32 accumulation to reach its 3e-4 tolerance
+    jax.config.update("jax_default_matmul_precision", "highest")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(HERE, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
