@@ -1,0 +1,36 @@
+"""Continuous-batching pool: must solve every queued instance to the same
+result as individual solves, with slot refill."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipddp2tpu import Options, solve
+from ipddp2tpu.models import concar
+from ipddp2tpu.serve import solve_pool
+
+OPTS = Options(optimality_tolerance=1e-6, max_iterations=600)
+
+
+def test_pool_solves_all():
+    n, slots = 6, 2
+    keys = jax.random.split(jax.random.PRNGKey(9), n)
+    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+    bounds = concar.bounds(f_lims, tau_lims)
+    u0 = jnp.broadcast_to(concar.initial_controls(),
+                          (n, concar.T, concar.NU))
+
+    res = solve_pool(concar.problem(), bounds, x1s, u0, theta=thetas,
+                     options=OPTS, slots=slots, chunk=30)
+    sol = res.solutions
+    assert sol.converged.shape == (n,)
+    assert bool(np.all(sol.converged)), sol.status
+    assert res.occupancy > 0.5
+
+    # spot-check instance 3 against a standalone solve
+    one = solve(concar.problem(),
+                jax.tree.map(lambda a: a[3], bounds), x1s[3], u0[3],
+                theta=jax.tree.map(lambda a: a[3], thetas), options=OPTS)
+    np.testing.assert_allclose(float(sol.objective[3]),
+                               float(one.objective), rtol=1e-8)
+    assert int(sol.iterations[3]) == int(one.iterations)
