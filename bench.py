@@ -107,7 +107,7 @@ def main():
     tol = float(os.environ.get("BENCH_TOL", "1e-7"))
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
     ladder = os.environ.get(
-        "BENCH_LADDER", "16:mixed,8:mixed,8:f64")
+        "BENCH_LADDER", "32:mixed,16:mixed,8:f64")
 
     best = None
     attempts = []
