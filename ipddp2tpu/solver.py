@@ -202,3 +202,8 @@ def get_trajectory(solver: Solver):
     (reference: src/solver.jl:46-48)."""
     assert solver.solution is not None, "call solver.solve first"
     return solver.solution.x, solver.solution.u
+
+def current_trajectory(solver: Solver):
+    """Alias of the accepted iterate (the functional core keeps no separate
+    trial copy; reference: src/solver.jl:50-52)."""
+    return get_trajectory(solver)
