@@ -125,6 +125,8 @@ class Solver:
     terminal); constraints: list of T+1 Constraint (last empty); bounds: list
     of T+1 Bound (last empty)."""
 
+    PAD_COST = 1e-2      # tiny quadratic cost keeping padded controls at 0
+
     def __init__(self, dynamics: List[Dynamics], objectives: List[Objective],
                  constraints: Optional[List[Constraint]] = None,
                  bounds: Optional[List[Bound]] = None,
@@ -135,28 +137,74 @@ class Solver:
             "length(dynamics) + 1 == length(objectives) "
             "(reference: src/data/problem.jl:41)")
         nx = dynamics[0].num_state
-        nu = dynamics[0].num_control
+        assert all(d.num_state == nx for d in dynamics), (
+            "per-stage state dimension must be uniform (the reference's "
+            "benchmarks only vary the control/constraint dims, SURVEY.md §0)")
 
         if constraints is None:
-            constraints = [Constraint(nx, nu) for _ in range(N)]
+            constraints = [Constraint(nx, d.num_control) for d in dynamics]
+            constraints += [Constraint(nx, 0)]
         if bounds is None:
-            bounds = [Bound(nu) for _ in range(T)] + [Bound(0)]
+            bounds = [Bound(d.num_control) for d in dynamics] + [Bound(0)]
 
         stage_cons = constraints[:T]
-        nc = stage_cons[0].num_constraint if stage_cons else 0
-        assert all(c.num_constraint == nc for c in stage_cons), (
-            "uniform stage constraint dimension required "
-            "(pad with zeros for ragged stages)")
-        compl = stage_cons[0].indices_compl if stage_cons else ()
+        nus = [d.num_control for d in dynamics]
+        ncs = [c.num_constraint for c in stage_cons]
+        # Ragged per-stage control/constraint dims (reference README:19) are
+        # lifted to the uniform [T, n] layout by padding: extra controls get a
+        # tiny quadratic cost (optimum 0) and each padded constraint row pins
+        # one extra control to zero, keeping every stage KKT nonsingular.
+        nc_max = max(ncs) if ncs else 0
+        nu_max = max(nu_t + (nc_max - nc_t)
+                     for nu_t, nc_t in zip(nus, ncs)) if nus else 0
+        self._ragged = (len(set(nus)) > 1 or len(set(ncs)) > 1)
+        nu, nc = nu_max, nc_max
 
-        dyn_fn = _lower_stagewise([d.f for d in dynamics], nx)
-        cost_fn = _lower_stagewise([o.f for o in objectives[:T]], nx)
+        compl = stage_cons[0].indices_compl if stage_cons else ()
+        assert all(c.indices_compl == compl for c in stage_cons), (
+            "complementarity rows must be uniform across stages")
+
+        def pad_stage(f, nu_t, pass_xu=True):
+            if f is None:
+                return None
+            return lambda x, u: f(x, u[:nu_t])
+
+        dyn_fn = _lower_stagewise(
+            [pad_stage(d.f, nu_t) for d, nu_t in zip(dynamics, nus)], nx)
+
+        pad_cost = self.PAD_COST
+
+        def make_cost(f, nu_t):
+            def cost(x, u):
+                pad = u[nu_t:]
+                return f(x, u[:nu_t]) + pad_cost * jnp.dot(pad, pad)
+            return cost
+
+        cost_fn = _lower_stagewise(
+            [make_cost(o.f, nu_t)
+             for o, nu_t in zip(objectives[:T], nus)], nx)
         term_f = objectives[T].f
 
-        if nc > 0:
-            con_fn = _lower_stagewise([c.f for c in stage_cons], nx)
+        if nc_max > 0:
+            def make_con(c, nu_t, nc_t):
+                def con(x, u):
+                    rows = (c.f(x, u[:nu_t]) if c.f is not None
+                            else jnp.zeros((0,), x.dtype))
+                    # pin the first (nc_max - nc_t) padded controls
+                    pins = u[nu_t:nu_t + (nc_max - nc_t)]
+                    return jnp.concatenate([rows, pins])
+                return con
+
+            con_fn = _lower_stagewise(
+                [make_con(c, nu_t, nc_t)
+                 for c, nu_t, nc_t in zip(stage_cons, nus, ncs)], nx)
         else:
             con_fn = None
+
+        def pad_bound(values, fill):
+            out = np.full(nu_max, fill, dtype=float)
+            out[:len(values)] = values
+            return out
 
         self.problem = Problem(
             T=T, nx=nx, nu=nu, nc=nc,
@@ -164,8 +212,11 @@ class Solver:
             terminal_cost=lambda x, theta: term_f(x, jnp.zeros((0,), x.dtype)),
             constraints=con_fn, compl_indices=compl)
         self.bounds = Bounds(
-            lower=jnp.asarray(np.stack([b.lower for b in bounds[:T]])),
-            upper=jnp.asarray(np.stack([b.upper for b in bounds[:T]])))
+            lower=jnp.asarray(np.stack(
+                [pad_bound(b.lower, -np.inf) for b in bounds[:T]])),
+            upper=jnp.asarray(np.stack(
+                [pad_bound(b.upper, np.inf) for b in bounds[:T]])))
+        self._nus = nus
         self.options = options or Options()
         self.solution: Optional[Solution] = None
         self.wall_time: float = 0.0
@@ -183,10 +234,12 @@ class Solver:
         import numpy as _np
 
         if isinstance(u_init, (list, tuple)):
-            u_init = [np.asarray(v) for v in u_init]
+            u_init = [np.asarray(v, dtype=float) for v in u_init]
             if len(u_init) == self.problem.T + 1 and u_init[-1].size == 0:
                 u_init = u_init[:-1]
-            u_init = np.stack(u_init)
+            nu = self.problem.nu
+            u_init = np.stack([
+                np.concatenate([v, np.zeros(nu - v.size)]) for v in u_init])
         x1 = jnp.asarray(x1)
         u_init = jnp.asarray(u_init, dtype=x1.dtype)
         t0 = time.time()
