@@ -27,7 +27,11 @@ from .options import Options
 from .problem import Bounds, Problem, uniform_bounds, unbounded
 from .solve import Solution, SolverState, solve
 from .solver import (Bound, Constraint, Dynamics, Objective, Solver,
-                     get_trajectory)
+                     current_trajectory, get_trajectory)
+from .batch import solve_batch
+from .chunked import solve_chunked
+from .mixed import solve_mixed, solve_mixed_chunked
+from .serve import solve_pool
 
 __version__ = "0.1.0"
 
@@ -35,5 +39,7 @@ __all__ = [
     "Options", "Problem", "Bounds", "uniform_bounds", "unbounded",
     "Solution", "SolverState", "solve",
     "Dynamics", "Objective", "Constraint", "Bound", "Solver",
-    "get_trajectory",
+    "get_trajectory", "current_trajectory",
+    "solve_batch", "solve_chunked", "solve_mixed", "solve_mixed_chunked",
+    "solve_pool",
 ]

@@ -61,32 +61,41 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
                 options: Optional[Options] = None, chunk: int = 25,
                 batched: bool = False):
     """Continue `run` from an existing state in host-resumed chunks
-    (the warm-start entry point for chunked execution)."""
+    (the warm-start entry point for chunked execution).
+
+    Iteration limits are per-instance (state.k + chunk for the still-running
+    ones), so a batch with heterogeneous progress — e.g. a warm-started
+    second phase where some instances already spent their budget — advances
+    every live instance regardless of the stragglers."""
     options = options or Options()
     total = options.max_iterations
 
     @jax.jit
-    def run_chunk(state, bounds, theta, upto):
+    def run_chunk(state, bounds, theta, k_limits):
         if batched:
             fn = jax.vmap(
-                lambda s, b, th: run(problem, b, s, th, options,
-                                     k_limit=upto),
-                in_axes=(0, Bounds(0, 0), None if theta is None else 0))
-            return fn(state, bounds, theta)
-        return run(problem, bounds, state, theta, options, k_limit=upto)
+                lambda s, b, th, kl: run(problem, b, s, th, options,
+                                         k_limit=kl),
+                in_axes=(0, Bounds(0, 0), None if theta is None else 0, 0))
+            return fn(state, bounds, theta, k_limits)
+        return run(problem, bounds, state, theta, options,
+                   k_limit=k_limits)
 
-    done = int(np.asarray(state.k).max()) if batched else int(
-        np.asarray(state.k))
-    while done < total:
-        upto = min(done + chunk, total)
-        state = run_chunk(state, bounds, theta, jnp.int32(upto))
+    while True:
+        k_now = np.asarray(state.k)
+        conv = np.asarray(state.converged)
         status = np.asarray(state.status)
-        converged = np.asarray(state.converged)
-        active = (status == 8) & ~converged
-        done = upto
-        if not active.any():
+        running = (~conv & ((status == 0) | (status == 8))
+                   & (k_now < total))
+        if not np.any(running):
             break
-        state = state._replace(
-            status=jnp.where(jnp.asarray(active), jnp.int32(0),
-                             state.status))
+        # clear transient hit-the-chunk-cap stops on the running instances
+        state = state._replace(status=jnp.where(
+            jnp.asarray(running & (status == 8)), jnp.int32(0),
+            state.status))
+        k_next = np.where(running, np.minimum(k_now + chunk, total), k_now)
+        k_limits = jnp.asarray(k_next, jnp.int32)
+        if not batched:
+            k_limits = k_limits.reshape(())
+        state = run_chunk(state, bounds, theta, k_limits)
     return state

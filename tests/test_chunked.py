@@ -32,3 +32,33 @@ def test_chunked_batched():
     sol = solve_chunked(concar.problem(), bounds, x1s, u0, theta=thetas,
                         options=opts, chunk=40, batched=True)
     assert int(jnp.sum(sol.converged)) == n, np.asarray(sol.status)
+
+
+def test_run_chunked_heterogeneous_progress():
+    """A batch whose instances carry very different iteration counts (the
+    warm-started second phase of a mixed solve) must advance every live
+    instance — a straggler at the budget cap must not freeze the rest
+    (regression: run_chunked previously started from max(k))."""
+    from ipddp2tpu.chunked import run_chunked
+    from ipddp2tpu.problem import Bounds
+    from ipddp2tpu.solve import initialize
+
+    opts = Options(optimality_tolerance=1e-7, max_iterations=200)
+    prob = di.problem()
+    n = 3
+    bounds = jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape),
+                          di.bounds())
+    state = jax.vmap(lambda b, x, u: initialize(prob, None, b, x, u, opts),
+                     in_axes=(Bounds(0, 0), 0, 0))(
+        bounds, jnp.broadcast_to(di.initial_state(), (n, di.NX)),
+        jnp.broadcast_to(di.initial_controls(), (n, di.T, di.NU)))
+    # instance 0: pretend it already exhausted the budget
+    state = state._replace(
+        k=state.k.at[0].set(opts.max_iterations),
+        status=state.status.at[0].set(8))
+    out = run_chunked(prob, bounds, state, None, opts, chunk=7, batched=True)
+    conv = np.asarray(out.converged)
+    assert conv[1] and conv[2], np.asarray(out.status)
+    assert not conv[0] and int(out.status[0]) == 8
+    np.testing.assert_allclose(float(out.objective[1]), di.GOLDEN_OBJECTIVE,
+                               rtol=1e-6)
