@@ -12,7 +12,6 @@ long program.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -21,7 +20,7 @@ import numpy as np
 
 from .options import Options
 from .problem import Bounds, Problem
-from .solve import Solution, SolverState, initialize, run
+from .solve import Solution, initialize, run
 
 
 def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,

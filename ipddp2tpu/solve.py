@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .backward import backward_pass, costate_scan
 from .derivatives import (DerivativeBundle, contract_dynamics_hessian,
                           evaluate_constraints, evaluate_derivatives,
-                          evaluate_objective, relax_constraints)
+                          relax_constraints)
 from .forward import (Trial, barrier_lagrangian, forward_pass,
                       forward_pass_speculative)
 from .options import Options
