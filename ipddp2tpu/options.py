@@ -100,6 +100,13 @@ class Options:
                                         # "eigh" (oracle: exact inertia, robust)
     ls_min_step: float = 0.0            # extra lower bound on line-search step size
                                         # (0 = machine eps like the reference)
+    ls_failure_resets: int = 0          # robustness extension (0 = reference
+                                        # behavior): on a line-search failure,
+                                        # reset the filter and retry up to this
+                                        # many times before declaring status 7
+                                        # (rescues near-convergence filter
+                                        # saturation on degenerate contact
+                                        # problems)
     ls_speculative: int = 0             # 0 = reference backtracking while_loop;
                                         # K > 0 = evaluate gammas 2^-0..2^-(K-1)
                                         # in one batched rollout and pick the

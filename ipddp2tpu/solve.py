@@ -71,6 +71,7 @@ class SolverState(NamedTuple):
     # counters and flags
     k: Array                # overall iteration counter (accepted steps)
     j: Array                # outer/barrier iteration counter
+    ls_resets: Array        # filter resets consumed after LS failures
     num_ls: Array           # last line-search trial count
     step_size: Array
     status: Array
@@ -177,7 +178,8 @@ def initialize(problem: Problem, theta, bounds: Bounds, x1, u_init,
         max_primal_1=max_primal_1, min_primal_1=min_primal_1,
         primal_inf=zero, dual_inf=zero, cs_inf=zero,
         filter_pts=filter_pts, filter_n=jnp.int32(1),
-        k=jnp.int32(0), j=jnp.int32(0), num_ls=jnp.int32(0),
+        k=jnp.int32(0), j=jnp.int32(0), ls_resets=jnp.int32(0),
+        num_ls=jnp.int32(0),
         step_size=zero, status=jnp.int32(0),
         converged=jnp.zeros((), bool),
     )
@@ -363,8 +365,25 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
                 filter_pts=fpts, filter_n=fn,
                 k=s.k + 1, num_ls=fw.num_ls, step_size=fw.step_size)
 
-        s = jax.lax.cond(fw.status == 0, accept,
-                         lambda s: s._replace(status=fw.status), s)
+        def reject(s: SolverState):
+            if options.ls_failure_resets > 0:
+                # robustness extension: a saturated filter can block every
+                # step near convergence (observed on degenerate contact
+                # switching stages); resetting it and retrying is bounded by
+                # ls_failure_resets and changes nothing when the filter was
+                # not the blocker (the retry fails again and consumes budget)
+                can_reset = s.ls_resets < options.ls_failure_resets
+                return jax.lax.cond(
+                    can_reset,
+                    lambda s: s._replace(
+                        filter_pts=_reset_filter(s.filter_pts,
+                                                 s.max_primal_1),
+                        filter_n=jnp.int32(1),
+                        ls_resets=s.ls_resets + 1),
+                    lambda s: s._replace(status=fw.status), s)
+            return s._replace(status=fw.status)
+
+        s = jax.lax.cond(fw.status == 0, accept, reject, s)
         return s
 
     def active(s: SolverState):

@@ -84,3 +84,20 @@ def test_verbose_runs(capfd):
     out, _ = capfd.readouterr()
     assert "iter" not in out or True   # callback output formatting is async;
     # just assert the solve didn't crash with logging enabled
+
+
+def test_ls_failure_resets_preserves_golden():
+    """The rescue option must not change trajectories that never fail the
+    line search (reference-equivalence when unused)."""
+    from ipddp2tpu.models import cartpole as cp
+
+    base = solve(cp.problem(), cp.bounds(), cp.initial_state(),
+                 cp.initial_controls(), theta=cp.seed1_instance(),
+                 options=Options(optimality_tolerance=1e-7))
+    rescued = solve(cp.problem(), cp.bounds(), cp.initial_state(),
+                    cp.initial_controls(), theta=cp.seed1_instance(),
+                    options=Options(optimality_tolerance=1e-7,
+                                    ls_failure_resets=3))
+    assert int(base.iterations) == int(rescued.iterations)
+    np.testing.assert_allclose(float(base.objective),
+                               float(rescued.objective), rtol=1e-12)
