@@ -200,10 +200,15 @@ def full_newton_step(prob, deriv, x, u, c, il, iu, phi, zl, zu, mu):
     return du, dphi, dzl, dzu, dx
 
 
-def test_gains_solve_full_newton_system():
-    key = jax.random.PRNGKey(0)
+import pytest
+
+
+@pytest.mark.parametrize("problem_seed,state_seed", [(0, 1), (7, 3)])
+def test_gains_solve_full_newton_system(problem_seed, state_seed):
+    key = jax.random.PRNGKey(problem_seed)
     prob = make_problem(key)
-    x, u, phi, zl, zu, bounds = make_state(jax.random.PRNGKey(1), prob)
+    x, u, phi, zl, zu, bounds = make_state(jax.random.PRNGKey(state_seed),
+                                           prob)
     mu = 0.1
     il = u - bounds.lower
     iu = bounds.upper - u
