@@ -174,3 +174,17 @@ def test_full_solve_parallel_backward_concar():
     assert bool(sol.converged), int(sol.status)
     np.testing.assert_allclose(float(sol.objective),
                                concar.SEED1_GOLDEN_OBJECTIVE, rtol=1e-6)
+
+
+def test_parallel_backward_no_constraints():
+    """nc = 0 edge of the parallel mode (bound-only cartpole swing-up),
+    combined with the speculative line search."""
+    from ipddp2tpu import Options as O, solve
+    from ipddp2tpu.models import cartpole_swingup as cs
+
+    sol = solve(cs.problem(), cs.bounds(), cs.initial_state(),
+                cs.initial_controls(),
+                options=O(optimality_tolerance=1e-6, max_iterations=500,
+                          backward_mode="parallel", ls_speculative=24))
+    assert bool(sol.converged), int(sol.status)
+    assert abs(float(sol.x[-1, 1]) - jnp.pi) < 0.1
