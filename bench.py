@@ -103,9 +103,29 @@ def worker(batch: int, mode: str, tol: float):
     }))
 
 
+def _wait_for_device(budget_s: float):
+    """The TPU worker behind the relay wedges for tens of minutes after a
+    crash; poll with short probe subprocesses before burning attempt budget."""
+    probe = ("import jax, jax.numpy as jnp, numpy as np; "
+             "np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8))); "
+             "print('ok')")
+    deadline = time.time() + budget_s
+    while time.time() < deadline:
+        try:
+            out = subprocess.run([sys.executable, "-c", probe],
+                                 capture_output=True, text=True, timeout=90)
+            if "ok" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(30)
+    return False
+
+
 def main():
     tol = float(os.environ.get("BENCH_TOL", "1e-7"))
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
+    _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT", "1500")))
     ladder = os.environ.get(
         "BENCH_LADDER", "32:mixed,16:mixed,8:f64")
 
