@@ -125,7 +125,7 @@ def _wait_for_device(budget_s: float):
 def main():
     tol = float(os.environ.get("BENCH_TOL", "1e-7"))
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
-    _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT", "1500")))
+    _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT", "2400")))
     ladder = os.environ.get(
         "BENCH_LADDER", "32:mixed,16:mixed,8:f64")
 
