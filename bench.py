@@ -49,7 +49,7 @@ def worker(batch: int, mode: str, tol: float):
     problem = concar.problem()
     # short per-call device programs: the TPU runtime here kills long
     # executions, so the solve is chunked and resumed from state on the host
-    chunk = int(os.environ.get("BENCH_CHUNK", "20"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "40"))
 
     def make(seed, dtype=None):
         keys = jax.random.split(jax.random.PRNGKey(seed), batch)
