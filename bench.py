@@ -127,7 +127,7 @@ def main():
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
     _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT", "2400")))
     ladder = os.environ.get(
-        "BENCH_LADDER", "32:mixed,16:mixed,8:f64")
+        "BENCH_LADDER", "64:mixed,32:mixed,16:mixed,8:f64")
 
     best = None
     attempts = []
