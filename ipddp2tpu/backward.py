@@ -45,10 +45,12 @@ restart loop then runs in lockstep with per-instance predicates.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 
 from .derivatives import DerivativeBundle
 from .ops.ldlt import (eigh_factor_and_inertia, eigh_solve,
@@ -244,6 +246,66 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
     return gains, dL, fail, singular
 
 
+@lru_cache(maxsize=64)
+def _make_sweep(problem: Problem, options: Options):
+    """One backward-sweep attempt at fixed per-instance (reg, delta_c), as a
+    `custom_vmap` function: per-instance it is the `lax.scan` sweep
+    (`_run_pass`); under `vmap` over problem instances it dispatches to the
+    fused Pallas megakernel (`ops/backward_pallas.py`) when eligible —
+    f32 on a TPU backend under `backward_kernel="auto"`, or always when
+    forced with `backward_kernel="pallas"` (interpret mode off-TPU, the
+    tests' parity path). The batched reg-restart ladder above is unchanged:
+    JAX's batched `while_loop` masks non-failing instances itself.
+    """
+
+    def single(deriv, nominal, second, mu, reg, delta_c):
+        return _run_pass(problem, deriv, nominal, mu, reg, delta_c,
+                         options, second=second)
+
+    sweep = custom_vmap(single)
+
+    @sweep.def_vmap
+    def _rule(axis_size, in_batched, deriv, nominal, second, mu, reg,
+              delta_c):
+        def bc(x, b):
+            if b:
+                return x
+            return jnp.broadcast_to(x[None], (axis_size,) + jnp.shape(x))
+
+        deriv, nominal, second, mu, reg, delta_c = jax.tree.map(
+            bc, [deriv, nominal, second, mu, reg, delta_c], in_batched)
+
+        mode = options.backward_kernel
+        use_pallas = (mode == "pallas"
+                      or (mode == "auto"
+                          and mu.dtype == jnp.float32
+                          and jax.default_backend() == "tpu"))
+        if use_pallas:
+            from .ops.backward_pallas import backward_sweep_pallas
+            c_rel, il, iu, phi, zl, zu = nominal
+            T, nz = problem.T, problem.nx + problem.nu
+            sec = (second if second is not None
+                   else jnp.zeros((axis_size, T, nz, nz), mu.dtype))
+            gains_t, dL, fail, singular = backward_sweep_pallas(
+                deriv.fx, deriv.fu, deriv.lx, deriv.lu, deriv.lxx,
+                deriv.lux, deriv.luu, deriv.cx, deriv.cu, sec,
+                c_rel, il, iu, phi, zl, zu, deriv.lTx, deriv.lTxx,
+                mu, reg, delta_c,
+                nx=problem.nx, nu=problem.nu, nc=problem.nc,
+                refine=max(options.refine_steps, 1),
+                rtol=options.kkt_residual_rtol,
+                interpret=None if mode == "auto" else
+                (jax.default_backend() != "tpu"))
+            out = (Gains(*gains_t), dL, fail, singular)
+        else:
+            out = jax.vmap(single)(deriv, nominal, second, mu, reg,
+                                   delta_c)
+        out_batched = jax.tree.map(lambda _: True, out)
+        return out, out_batched
+
+    return sweep
+
+
 def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
                   mu, reg_last, options: Options, *, lam=None,
                   second=None) -> BackwardResult:
@@ -267,9 +329,10 @@ def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
         if deriv.fH is not None:
             second = second + jnp.einsum("ti,tijk->tjk", lam[1:], deriv.fH)
 
+    sweep = _make_sweep(problem, options)
+
     def attempt(reg, delta_c):
-        return _run_pass(problem, deriv, nominal, mu, reg, delta_c, options,
-                         second=second)
+        return sweep(deriv, nominal, second, mu, reg, delta_c)
 
     # The initial attempt always runs with reg = 0, delta_c = 0
     # (reference: src/backward_pass.jl:52-53).

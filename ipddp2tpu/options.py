@@ -89,6 +89,12 @@ class Options:
                                         # the reference) or "parallel"
                                         # (associative-scan Riccati: O(log T)
                                         # depth, same semantics)
+    backward_kernel: str = "auto"       # batched backward-sweep dispatch:
+                                        # "auto"   = fused Pallas megakernel
+                                        #            when vmapped, f32, on TPU
+                                        # "pallas" = always the megakernel
+                                        #            (interpret mode off-TPU)
+                                        # "xla"    = always the vmapped scan
     ldlt_unroll: bool = True            # unroll the factorization column loop
                                         # (faster dispatch; False shrinks the
                                         # compiled program for slow-compile
