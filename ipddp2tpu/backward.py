@@ -230,9 +230,12 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
           second if second is not None else jnp.zeros((T, nz, nz), dtype),
           c_rel, il, iu, phi, zl, zu)
 
-    carry0 = (deriv.lTx, deriv.lTxx,
-              jnp.zeros((), dtype),
-              jnp.zeros((), bool), jnp.zeros((), bool))
+    # Tie the scalar carry inits to a traced input so their varying-manual-
+    # axes match the body outputs under shard_map (a literal zero is
+    # "unvarying" and trips the scan carry VMA check).
+    vzero = mu * jnp.zeros((), dtype)
+    vfalse = vzero > jnp.zeros((), dtype)
+    carry0 = (deriv.lTx, deriv.lTxx, vzero, vfalse, vfalse)
     (_, _, dL, fail, singular), outs = jax.lax.scan(
         stage, carry0, xs, reverse=True
     )
@@ -319,7 +322,9 @@ def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
     """
     nx, nu, nc, T = problem.nx, problem.nu, problem.nc, problem.T
     dtype = nominal[1].dtype
-    zero = jnp.zeros((), dtype)
+    # Tied to mu so the ladder while_loop carry's varying-manual-axes match
+    # under shard_map (mu is varying via `initialize`).
+    zero = mu * jnp.zeros((), dtype)
 
     if lam is None:
         lam = costate_scan(deriv, nominal[3])
@@ -357,9 +362,19 @@ def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
         return (reg, delta_c, gains, dL, fail, singular,
                 jnp.asarray(n, jnp.int32))
 
+    # Clamp reg_max to the working dtype's finite max (the reference default
+    # 1e40 overflows to inf when cast to f32, which would make the guard
+    # vacuous) — computed in Python to avoid the overflow-on-cast warning.
+    reg_max = jnp.asarray(min(options.reg_max, float(jnp.finfo(dtype).max)),
+                          dtype)
+
     def cond(carry):
         reg, _, _, _, fail, _, n = carry
-        return fail & (reg <= options.reg_max) & (n < options.max_backward_restarts)
+        # Stop once the reg the *next* attempt would use exceeds reg_max —
+        # the reference never factorizes above reg_max
+        # (reference: src/backward_pass.jl:55).
+        return (fail & (next_reg(reg) <= reg_max)
+                & (n < options.max_backward_restarts))
 
     def body(carry):
         reg, delta_c, gains, dL, fail, singular, n = carry

@@ -200,16 +200,15 @@ def forward_pass(problem: Problem, theta, bounds: Bounds, gains: Gains,
         return (new_gamma, accept, status, num_ls,
                 trial, th, L, J, armijo, switching)
 
-    zeros_trial = Trial(
-        x=jnp.zeros_like(nominal.x), u=jnp.zeros_like(nominal.u),
-        c_raw=jnp.zeros_like(nominal.c_raw),
-        il=jnp.zeros_like(nominal.il), iu=jnp.zeros_like(nominal.iu),
-        phi=jnp.zeros_like(nominal.phi),
-        zl=jnp.zeros_like(nominal.zl), zu=jnp.zeros_like(nominal.zu))
-    zero = jnp.zeros((), dtype)
-    carry0 = (jnp.ones((), dtype), jnp.zeros((), bool), jnp.int32(0),
-              jnp.int32(0), zeros_trial, zero, zero, zero,
-              jnp.zeros((), bool), jnp.zeros((), bool))
+    # Carry inits derived from the traced inputs (not literal constants) so
+    # their varying-manual-axes match the body outputs under shard_map.
+    zeros_trial = jax.tree.map(lambda a: a * jnp.zeros((), a.dtype), nominal)
+    zero = mu * jnp.zeros((), dtype)
+    vfalse = zero > jnp.zeros((), dtype)
+    izero = zero.astype(jnp.int32)
+    carry0 = (jnp.ones((), dtype) + zero, vfalse, izero,
+              izero, zeros_trial, zero, zero, zero,
+              vfalse, vfalse)
     (gamma, done, _, num_ls, trial, th, L, J, armijo, switching) = \
         jax.lax.while_loop(cond, body, carry0)
 

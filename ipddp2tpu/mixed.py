@@ -48,8 +48,8 @@ def promote_state(problem: Problem, bounds: Bounds, state: SolverState,
         filter_pts=_reset_filter(
             jnp.zeros((options.filter_capacity, 2), jnp.float64),
             s.max_primal_1),
-        filter_n=jnp.int32(1),
-        status=jnp.int32(0), converged=jnp.zeros((), bool))
+        filter_n=s.filter_n * 0 + 1,
+        status=s.status * 0, converged=s.converged & False)
 
 
 def solve_mixed(problem: Problem, bounds: Bounds, x1, u_init, theta=None,

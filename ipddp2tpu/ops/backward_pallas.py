@@ -40,6 +40,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _b2f(pred, dt):
+    """bool -> float via select (a direct bool cast lowers through i64
+    vector constants in Mosaic, which the TPU layout pass rejects)."""
+    return jnp.where(pred, jnp.ones((), dt), jnp.zeros((), dt))
+
+
+def _eye(n, dt):
+    """Identity matrix without jnp.eye (whose iotas are i64 under x64)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where(r == c, jnp.ones((), dt), jnp.zeros((), dt))
+
 def _ldlt_solve_lanes(A0, rhs, *, m, refine, rtol):
     """Batched-on-lanes pivoted LDL^T factor + solve + inertia on values.
 
@@ -50,24 +62,37 @@ def _ldlt_solve_lanes(A0, rhs, *, m, refine, rtol):
     solve_ok [B] bool).
     """
     B = A0.shape[-1]
+    dt = A0.dtype
     A = A0
     eliminated = jnp.zeros((m, B), dtype=jnp.bool_)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0)
+    # Mosaic only lowers float reductions reliably; argmax / bool-all /
+    # int sums are rewritten as float max/min/sum reductions below.
+    # int32 iota cast to float (Mosaic rejects float tpu.iota directly)
+    row_f = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0).astype(dt)
 
     onehots, lcols, ds = [], [], []
     for j in range(m):
         diag = jnp.stack([A[i, i, :] for i in range(m)], axis=0)   # [m, B]
-        cand = jnp.where(eliminated, -jnp.inf, jnp.abs(diag))
-        r = jax.lax.argmax(cand, 0, jnp.int32)                     # [B]
-        onehot = row_ids == r[None, :]                             # [m, B]
-        d_j = jnp.sum(jnp.where(onehot, diag, 0.0), axis=0)        # [B]
+        # all scalar literals pinned to dt: even weak-typed Python floats
+        # lower to f64 constants + casts under x64, unsupported in Mosaic
+        cand = jnp.where(eliminated, jnp.asarray(float("-inf"), dt),
+                         jnp.abs(diag))
+        # argmax with first-occurrence tiebreak, via float reductions
+        mx = jnp.max(cand, axis=0)                                 # [B]
+        eq = cand == mx[None, :]
+        ridx = jnp.min(jnp.where(eq, row_f, jnp.asarray(float(m), dt)),
+                       axis=0)                                     # [B]
+        onehot = row_f == ridx[None, :]                            # [m, B]
+        d_j = jnp.sum(jnp.where(onehot, diag, jnp.zeros((), dt)),
+                      axis=0)                                      # [B]
 
         col = jnp.zeros_like(diag)
         for i in range(m):
-            col = col + jnp.where(onehot[i][None, :], A[:, i, :], 0.0)
-        safe_d = jnp.where(d_j == 0.0, 1.0, d_j)
+            col = col + jnp.where(onehot[i][None, :], A[:, i, :],
+                                  jnp.zeros((), dt))
+        safe_d = jnp.where(d_j == 0.0, jnp.ones((), dt), d_j)
         l = col / safe_d[None, :]
-        l = jnp.where(eliminated | onehot, 0.0, l)                 # [m, B]
+        l = jnp.where(eliminated | onehot, jnp.zeros((), dt), l)   # [m, B]
 
         dl = l * d_j[None, :]
         A = A - dl[:, None, :] * l[None, :, :]
@@ -78,31 +103,40 @@ def _ldlt_solve_lanes(A0, rhs, *, m, refine, rtol):
         eliminated = eliminated | onehot
 
     d = jnp.stack(ds, axis=0)                                      # [m, B]
-    n_pos = jnp.sum((d > 0.0).astype(jnp.int32), axis=0)
-    n_zero = jnp.sum((d == 0.0).astype(jnp.int32), axis=0)
-    finite = jnp.all(jnp.isfinite(d), axis=0)
+    # Float-count reductions (int32/bool reductions are unsupported by
+    # Mosaic: "Unsupported element type for the selected reduction"); the
+    # counts are exact small integers in float.
+    n_pos = jnp.sum(_b2f(d > 0.0, dt), axis=0).astype(jnp.int32)
+    n_zero = jnp.sum(_b2f(d == 0.0, dt), axis=0).astype(jnp.int32)
+    finite = jnp.sum(_b2f(~jnp.isfinite(d), dt), axis=0) == 0.0
 
     def solve(b):                       # b: [m, nk, B]
         res = b
         z = []
         for j in range(m):              # forward: z = W^{-1} b
-            zj = jnp.sum(jnp.where(onehots[j][:, None, :], res, 0.0),
+            zj = jnp.sum(jnp.where(onehots[j][:, None, :], res,
+                                   jnp.zeros((), res.dtype)),
                          axis=0)        # [nk, B]
-            w = onehots[j].astype(res.dtype) + lcols[j]
+            w = _b2f(onehots[j], res.dtype) + lcols[j]
             res = res - w[:, None, :] * zj[None, :, :]
             z.append(zj)
         x = jnp.zeros_like(b)
         for j in range(m - 1, -1, -1):  # backward: W^T x = D^{-1} z
-            safe_d = jnp.where(ds[j] == 0.0, 1.0, ds[j])
+            safe_d = jnp.where(ds[j] == 0.0, jnp.ones((), dt), ds[j])
             rhs_j = z[j] / safe_d[None, :] - jnp.sum(
                 lcols[j][:, None, :] * x, axis=0)
-            x = x + onehots[j][:, None, :] * rhs_j[None, :, :]
+            # select, not bool*float (implicit bool casts lower through
+            # i64 vector constants the TPU layout pass rejects)
+            x = x + jnp.where(onehots[j][:, None, :],
+                              rhs_j[None, :, :], jnp.zeros((), dt))
         return x
 
     def matvec(x):
         ax = jnp.zeros_like(x)
         for i in range(m):
-            ax = ax + A0[:, i, None, :] * x[i, None, :, :]
+            # NB: no inline-None indexing — `A0[:, i, None, :]` lowers to a
+            # 3D lax.gather, which Mosaic cannot lower ("Only 2D gather").
+            ax = ax + A0[:, i, :][:, None, :] * x[i][None, :, :]
         return ax
 
     x = solve(rhs)
@@ -112,12 +146,14 @@ def _ldlt_solve_lanes(A0, rhs, *, m, refine, rtol):
     # Backward-stability gate (matches ops.ldlt.ldlt_solve_refined with
     # check_residual=True: Frobenius norms, rtol * (|A||x| + |b|)).
     r = rhs - matvec(x)
-    nr = jnp.sqrt(jnp.sum(r * r, axis=(0, 1)))
-    na = jnp.sqrt(jnp.sum(A0 * A0, axis=(0, 1)))
-    nx_ = jnp.sqrt(jnp.sum(x * x, axis=(0, 1)))
-    nb = jnp.sqrt(jnp.sum(rhs * rhs, axis=(0, 1)))
-    solve_ok = (nr <= rtol * (na * nx_ + nb)) & jnp.all(
-        jnp.isfinite(x), axis=(0, 1))
+    ssq = lambda a: jnp.sqrt(jnp.sum(jnp.sum(a * a, axis=0), axis=0))
+    nr = ssq(r)
+    na = ssq(A0)
+    nx_ = ssq(x)
+    nb = ssq(rhs)
+    x_finite = jnp.sum(jnp.sum(
+        _b2f(~jnp.isfinite(x), A0.dtype), axis=0), axis=0) == 0.0
+    solve_ok = (nr <= rtol * (na * nx_ + nb)) & x_finite
     return x, n_pos, n_zero, finite, solve_ok
 
 
@@ -188,16 +224,19 @@ def _kernel(scal_ref, lTx_ref, lTxx_ref,
     H = luu + sec[nx:, nx:]
     Bm = lux + sec[nx:, :nx]
     for k in range(nx):
-        C = C + fxV[:, k, None, :] * fx[k][None, :, :]
-        H = H + fuV[:, k, None, :] * fu[k][None, :, :]
-        Bm = Bm + fuV[:, k, None, :] * fx[k][None, :, :]
-    eye_nu = jnp.eye(nu, dtype=dtype)
+        # (no inline-None indexing — it lowers to >2D gather; see matvec)
+        fxVk = fxV[:, k, :][:, None, :]
+        fuVk = fuV[:, k, :][:, None, :]
+        C = C + fxVk * fx[k][None, :, :]
+        H = H + fuVk * fu[k][None, :, :]
+        Bm = Bm + fuVk * fx[k][None, :, :]
+    eye_nu = _eye(nu, dtype)
     H = H + eye_nu[:, :, None] * (sig_l + sig_u + reg[None, :])[:, None, :]
 
     # KKT assembly: K = [H cu'; cu -dc I]   [m, m, B]
     if nc > 0:
         cuT = jnp.transpose(cu, (1, 0, 2))               # [nu, nc, B]
-        eye_nc = jnp.eye(nc, dtype=dtype)
+        eye_nc = _eye(nc, dtype)
         dcI = eye_nc[:, :, None] * dc[None, None, :]
         top = jnp.concatenate([H, cuT], axis=1)          # [nu, m, B]
         bot = jnp.concatenate([cu, -dcI], axis=1)        # [nc, m, B]
@@ -257,9 +296,11 @@ def _kernel(scal_ref, lTx_ref, lTxx_ref,
     stage_ok = finite & (n_zero == 0) & (n_pos == nu) & solve_ok
     prev_fail = flags_ref[0, :]
     first_fail = (prev_fail == 0) & (~stage_ok)
-    flags_ref[1, :] = flags_ref[1, :] | (
-        first_fail & (n_zero > 0)).astype(jnp.int32)
-    flags_ref[0, :] = prev_fail | (~stage_ok).astype(jnp.int32)
+    i32_one = jnp.ones((), jnp.int32)
+    i32_zero = jnp.zeros((), jnp.int32)
+    flags_ref[1, :] = flags_ref[1, :] | jnp.where(
+        first_fail & (n_zero > 0), i32_one, i32_zero)
+    flags_ref[0, :] = prev_fail | jnp.where(~stage_ok, i32_one, i32_zero)
 
 
 @partial(jax.jit, static_argnames=("nx", "nu", "nc", "refine", "rtol",
@@ -298,15 +339,24 @@ def backward_sweep_pallas(
     nb = Bp // tile_b
     grid = (nb, T)
 
+    # NB: the reversed-time index is computed as i32 (`T - 1` as a weak
+    # Python int promotes the subtraction to i64 under x64, and Mosaic
+    # rejects an index-map function returning i64). np.int32 is strongly
+    # typed and not a tracer (index maps may not capture tracers).
+    import numpy as np
+    Tm1 = np.int32(T - 1)
+
+    zero32 = np.int32(0)
+
     def t_spec(*dims):
         block = (1,) + dims + (tile_b,)
-        zeros = (0,) * len(dims)
-        return pl.BlockSpec(block, lambda b, i: (T - 1 - i, *zeros, b),
+        zeros = (zero32,) * len(dims)
+        return pl.BlockSpec(block, lambda b, i: (Tm1 - i, *zeros, b),
                             memory_space=pltpu.VMEM)
 
     def const_spec(*dims):
         block = dims + (tile_b,)
-        zeros = (0,) * len(dims)
+        zeros = (zero32,) * len(dims)
         return pl.BlockSpec(block, lambda b, i: (*zeros, b),
                             memory_space=pltpu.VMEM)
 
@@ -383,6 +433,7 @@ def backward_sweep_pallas(
             pltpu.VMEM((nx, nx, tile_b), dtype),      # Vxx carry
         ],
         interpret=bool(interpret),
+        debug=bool(int(__import__("os").environ.get("PALLAS_DEBUG", "0"))),
     )(*args)
 
     (alpha, beta, psi, omega, chi_l, zeta_l, chi_u, zeta_u,

@@ -84,9 +84,6 @@ def solve_sharded(problem: Problem, bounds: Bounds, x1: Array, u_init: Array,
     out_specs = (jax.tree.map(lambda _: spec, Solution(*[0] * len(Solution._fields))),
                  jax.tree.map(lambda _: P(), BatchStats(*[0] * len(BatchStats._fields))))
 
-    # check_vma off: the solver's lax loops initialize carries from constants,
-    # which the varying-manual-axes static check cannot unify with sharded
-    # inputs; the computation itself is per-shard + explicit psum/pmax only.
     fn = jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                               out_specs=out_specs, check_vma=False))
+                               out_specs=out_specs))
     return fn(bounds, x1, u_init, theta)

@@ -104,7 +104,9 @@ def _reset_filter(filter_pts: Array, max_primal_1) -> Array:
     """Filter <- {(theta_max, -inf)} (reference: src/solve.jl:101-105)."""
     cap = filter_pts.shape[0]
     dtype = filter_pts.dtype
-    pts = jnp.full((cap, 2), jnp.inf, dtype=dtype)
+    # +0*max_primal_1 ties the constant +inf slots to the (possibly
+    # shard_map-varying) state so the array's VMA matches loop carries.
+    pts = jnp.full((cap, 2), jnp.inf, dtype=dtype) + max_primal_1 * 0
     pts = pts.at[0, 0].set(max_primal_1)
     return pts.at[0, 1].set(-jnp.inf)
 
@@ -112,13 +114,19 @@ def _reset_filter(filter_pts: Array, max_primal_1) -> Array:
 def _augment_filter(filter_pts, filter_n, theta_curr, L_curr,
                     options: Options):
     """Filter <- Filter + {((1-g_t) theta, L - g_L theta)}
-    (reference: src/solve.jl:95-99). Ring overwrite on overflow."""
+    (reference: src/solve.jl:95-99).
+
+    On ring overflow the occupied slot is merged by componentwise min — a
+    conservative envelope that blocks a superset of what the evicted point
+    blocked, so saturation never re-admits previously dominated iterates
+    (the reference's push! list is unbounded). Empty slots hold +inf, so
+    below capacity the min is an exact insert."""
     cap = filter_pts.shape[0]
     # slots 1..cap-1 form the ring; slot 0 holds the theta_max sentinel
     idx = 1 + jnp.mod(filter_n - 1, cap - 1)
     pt = jnp.stack([(1.0 - options.gamma_theta) * theta_curr,
                     L_curr - options.gamma_L * theta_curr])
-    return filter_pts.at[idx].set(pt), filter_n + 1
+    return filter_pts.at[idx].min(pt), filter_n + 1
 
 
 def initialize(problem: Problem, theta, bounds: Bounds, x1, u_init,
@@ -151,14 +159,21 @@ def initialize(problem: Problem, theta, bounds: Bounds, x1, u_init,
     x_T, x_stk = jax.lax.scan(step, x1, (jnp.arange(T), u))
     x = jnp.concatenate([x_stk, x_T[None]], axis=0)
 
+    # Every state field is tied to the instance inputs via this zero so its
+    # varying-manual-axes under shard_map match the loop-body outputs
+    # (literal-constant inits are "unvarying" and trip the while/scan carry
+    # VMA check); outside shard_map this is a no-op zero.
+    seed = x1[0] * jnp.zeros((), dtype)
+    iseed = seed.astype(jnp.int32)
+
     il = u - lo
     iu = hi - u
-    phi = jnp.zeros((T, problem.nc), dtype)
-    zl = jnp.where(ml, 1.0, 0.0).astype(dtype)
-    zu = jnp.where(mu_mask, 1.0, 0.0).astype(dtype)
-    lam = jnp.zeros((T + 1, problem.nx), dtype)
+    phi = jnp.zeros((T, problem.nc), dtype) + seed
+    zl = jnp.where(ml, 1.0, 0.0).astype(dtype) + seed
+    zu = jnp.where(mu_mask, 1.0, 0.0).astype(dtype) + seed
+    lam = jnp.zeros((T + 1, problem.nx), dtype) + seed
 
-    mu = jnp.asarray(options.mu_init, dtype)
+    mu = jnp.asarray(options.mu_init, dtype) + seed
     c_raw = evaluate_constraints(problem, theta, x, u)
     c_rel = relax_constraints(problem, c_raw, mu)
     theta_curr = jnp.sum(jnp.abs(c_rel))
@@ -170,18 +185,18 @@ def initialize(problem: Problem, theta, bounds: Bounds, x1, u_init,
     filter_pts = _reset_filter(
         jnp.zeros((options.filter_capacity, 2), dtype), max_primal_1)
 
-    zero = jnp.zeros((), dtype)
+    zero = seed
     return SolverState(
         x=x, u=u, c_raw=c_raw, il=il, iu=iu, phi=phi, zl=zl, zu=zu, lam=lam,
         mu=mu, reg_last=zero,
         objective=J, theta_curr=theta_curr, L_curr=L_curr,
         max_primal_1=max_primal_1, min_primal_1=min_primal_1,
         primal_inf=zero, dual_inf=zero, cs_inf=zero,
-        filter_pts=filter_pts, filter_n=jnp.int32(1),
-        k=jnp.int32(0), j=jnp.int32(0), ls_resets=jnp.int32(0),
-        num_ls=jnp.int32(0),
-        step_size=zero, status=jnp.int32(0),
-        converged=jnp.zeros((), bool),
+        filter_pts=filter_pts, filter_n=jnp.int32(1) + iseed,
+        k=iseed, j=iseed, ls_resets=iseed,
+        num_ls=iseed,
+        step_size=zero, status=iseed,
+        converged=seed > zero,
     )
 
 
@@ -323,6 +338,16 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
     barrier_branch = ((opt_err_mu <= options.kappa_eps * s.mu)
                       & (num_bounds > 0) & (s.mu > tol / 10.0))
 
+    # Branching is compute-both-and-select rather than `lax.cond`: under
+    # `vmap` (every batched solve) a batched-predicate cond executes both
+    # branches anyway, so this costs nothing there, keeps the rare
+    # per-instance path only marginally heavier (the barrier branch fires on
+    # ~5% of iterations), and sidesteps a JAX shard_map bug where
+    # vmap-of-cond branches closing over array constants fail the VMA check
+    # ("pvary is a invariant->variant collective").
+    def select_state(pred, a: SolverState, b: SolverState) -> SolverState:
+        return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
     def do_barrier(s: SolverState):
         # mu <- max(tol/10, min(kappa_mu mu, mu^theta_mu)); reset filter;
         # refresh merit measures; skip the forward pass
@@ -338,7 +363,7 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
         return s._replace(
             mu=mu_new,
             filter_pts=_reset_filter(s.filter_pts, s.max_primal_1),
-            filter_n=jnp.int32(1),
+            filter_n=s.filter_n * 0 + 1,
             L_curr=L_new, theta_curr=theta_new, objective=J,
             j=s.j + 1)
 
@@ -352,11 +377,11 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
 
         def accept(s: SolverState):
             t = fw.trial
-            fpts, fn = jax.lax.cond(
-                (~fw.armijo_passed) & (~fw.switching),
-                lambda: _augment_filter(s.filter_pts, s.filter_n,
-                                        s.theta_curr, s.L_curr, options),
-                lambda: (s.filter_pts, s.filter_n))
+            aug = (~fw.armijo_passed) & (~fw.switching)
+            fpts_aug, fn_aug = _augment_filter(
+                s.filter_pts, s.filter_n, s.theta_curr, s.L_curr, options)
+            fpts = jnp.where(aug, fpts_aug, s.filter_pts)
+            fn = jnp.where(aug, fn_aug, s.filter_n)
             return s._replace(
                 x=t.x, u=t.u, c_raw=t.c_raw, il=t.il, iu=t.iu,
                 phi=t.phi, zl=t.zl, zu=t.zu,
@@ -373,31 +398,25 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
                 # ls_failure_resets and changes nothing when the filter was
                 # not the blocker (the retry fails again and consumes budget)
                 can_reset = s.ls_resets < options.ls_failure_resets
-                return jax.lax.cond(
+                return select_state(
                     can_reset,
-                    lambda s: s._replace(
+                    s._replace(
                         filter_pts=_reset_filter(s.filter_pts,
                                                  s.max_primal_1),
-                        filter_n=jnp.int32(1),
+                        filter_n=s.filter_n * 0 + 1,
                         ls_resets=s.ls_resets + 1),
-                    lambda s: s._replace(status=fw.status), s)
+                    s._replace(status=fw.status))
             return s._replace(status=fw.status)
 
-        s = jax.lax.cond(fw.status == 0, accept, reject, s)
-        return s
+        return select_state(fw.status == 0, accept(s), reject(s))
 
-    def active(s: SolverState):
-        s = jax.lax.cond(barrier_branch, do_barrier, do_forward, s)
-        return s
-
-    s = jax.lax.cond(
+    s_active = select_state(barrier_branch, do_barrier(s), do_forward(s))
+    s = select_state(
         backward_failed,
-        lambda s: s._replace(status=jnp.int32(1)),
-        lambda s: jax.lax.cond(
-            converged,
-            lambda s: s._replace(converged=jnp.ones((), bool)),
-            active, s),
-        s)
+        s._replace(status=s.status * 0 + 1),
+        select_state(converged,
+                     s._replace(converged=s.converged | True),
+                     s_active))
     if options.verbose:
         from .utils.printing import iteration_logger
         iteration_logger(s, options)

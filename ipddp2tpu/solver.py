@@ -92,18 +92,27 @@ class Bound:
             self.upper = np.asarray(args[1], dtype=float)
 
 
-def _lower_stagewise(fns: List[Callable], nx: int):
+def _lower_stagewise(fns: List[Callable], nx: int, keys=None):
     """Lower a per-stage list of (x, u)-callables to one (x, u, t, theta)
-    function — direct call when uniform, `lax.switch` otherwise."""
+    function — direct call when uniform, `lax.switch` otherwise.
+
+    `keys` gives each stage's dedupe identity (e.g. `(user_fn, nu_t)`):
+    callers wrap the user callables in fresh per-stage closures, so wrapper
+    identity alone would lower a uniform problem to a T-branch switch (every
+    branch evaluated under vmap — O(T^2) stage work)."""
+    if keys is None:
+        keys = fns
     unique: List[Callable] = []
+    seen: list = []
     index: List[int] = []
-    for f in fns:
-        for i, g in enumerate(unique):
-            if g is f:
+    for f, k in zip(fns, keys):
+        for i, k2 in enumerate(seen):
+            if k2 == k:
                 index.append(i)
                 break
         else:
-            index.append(len(unique))
+            index.append(len(seen))
+            seen.append(k)
             unique.append(f)
     if len(unique) == 1:
         f = unique[0]
@@ -170,7 +179,8 @@ class Solver:
             return lambda x, u: f(x, u[:nu_t])
 
         dyn_fn = _lower_stagewise(
-            [pad_stage(d.f, nu_t) for d, nu_t in zip(dynamics, nus)], nx)
+            [pad_stage(d.f, nu_t) for d, nu_t in zip(dynamics, nus)], nx,
+            keys=[(d.f, nu_t) for d, nu_t in zip(dynamics, nus)])
 
         pad_cost = self.PAD_COST
 
@@ -182,7 +192,8 @@ class Solver:
 
         cost_fn = _lower_stagewise(
             [make_cost(o.f, nu_t)
-             for o, nu_t in zip(objectives[:T], nus)], nx)
+             for o, nu_t in zip(objectives[:T], nus)], nx,
+            keys=[(o.f, nu_t) for o, nu_t in zip(objectives[:T], nus)])
         term_f = objectives[T].f
 
         if nc_max > 0:
@@ -197,7 +208,9 @@ class Solver:
 
             con_fn = _lower_stagewise(
                 [make_con(c, nu_t, nc_t)
-                 for c, nu_t, nc_t in zip(stage_cons, nus, ncs)], nx)
+                 for c, nu_t, nc_t in zip(stage_cons, nus, ncs)], nx,
+                keys=[(c.f, nu_t, nc_t)
+                      for c, nu_t, nc_t in zip(stage_cons, nus, ncs)])
         else:
             con_fn = None
 
@@ -242,11 +255,19 @@ class Solver:
                 np.concatenate([v, np.zeros(nu - v.size)]) for v in u_init])
         x1 = jnp.asarray(x1)
         u_init = jnp.asarray(u_init, dtype=x1.dtype)
+        if self.options.verbose:
+            from .utils.printing import solver_banner
+            solver_banner()
         t0 = time.time()
         self.solution = solve(self.problem, self.bounds, x1, u_init,
                               options=self.options)
         _np.asarray(self.solution.converged)   # force completion
         self.wall_time = time.time() - t0
+        if self.options.verbose:
+            from .utils.printing import exit_message
+            jax.effects_barrier()              # flush iteration rows first
+            print(exit_message(int(self.solution.status),
+                               bool(self.solution.converged)))
         return self.solution
 
 

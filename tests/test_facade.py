@@ -33,3 +33,25 @@ def test_facade_double_integrator():
     x, u = get_trajectory(solver)
     assert x.shape == (T + 1, 2) and u.shape == (T, 3)
     assert solver.wall_time > 0
+
+
+def test_uniform_facade_lowers_without_switch():
+    """Uniform per-stage lists must dedupe to a direct call, not a T-branch
+    lax.switch (wrapper closures are fresh per stage; dedupe is on the
+    underlying (user_fn, dims) keys)."""
+    import jax
+
+    T, dt = 8, 0.01
+    f = lambda x, u: x + dt * jnp.array([x[1], u[0]])
+    dyn = Dynamics(f, 2, 3)
+    stage = Objective(lambda x, u: dt * (u[1] + u[2]), 2, 3)
+    term = Objective(lambda x, u: jnp.sum(x ** 2), 2, 0)
+    con = Constraint(lambda x, u: jnp.array([u[1] - u[2] - u[0] * x[1]]),
+                     2, 3)
+    solver = Solver([dyn] * T, [stage] * T + [term],
+                    [con] * T + [Constraint(2, 0)])
+    x, u = jnp.zeros(2), jnp.zeros(3)
+    for fn in (solver.problem.dynamics, solver.problem.stage_cost,
+               solver.problem.constraints):
+        jaxpr = str(jax.make_jaxpr(lambda x, u: fn(x, u, 3, None))(x, u))
+        assert "cond" not in jaxpr and "switch" not in jaxpr

@@ -75,15 +75,31 @@ def test_checkpoint_warm_start(tmp_path):
                                rtol=1e-6)
 
 
-def test_verbose_runs(capfd):
-    solve(di.problem(), di.bounds(), di.initial_state(),
-          di.initial_controls(),
-          options=Options(optimality_tolerance=1e-7, verbose=True,
-                          print_frequency=10))
+def test_verbose_prints_table(capfd):
+    """Verbose mode emits the banner, header, rate-limited iteration rows
+    (via jax.debug.callback) and the exit message (reference:
+    src/print.jl:13-46)."""
+    from ipddp2tpu import Bound, Constraint, Dynamics, Objective, Solver
+
+    T = di.T
+    dyn = Dynamics(lambda x, u: di.dynamics(x, u, 0, None), 2, 3)
+    objs = [Objective(lambda x, u: di.stage_cost(x, u, 0, None), 2, 3)] * T \
+        + [Objective(lambda x, u: di.terminal_cost(x, None), 2, 0)]
+    cons = [Constraint(lambda x, u: di.constraints(x, u, 0, None), 2, 3)] * T \
+        + [Constraint(2, 0)]
+    from ipddp2tpu.models.double_integrator import FORCE_LIMIT
+    bnds = [Bound(np.array([-FORCE_LIMIT, 0.0, 0.0]),
+                  np.array([FORCE_LIMIT, np.inf, np.inf]))] * T + [Bound(0)]
+    s = Solver([dyn] * T, objs, cons, bounds=bnds,
+               options=Options(optimality_tolerance=1e-7, verbose=True,
+                               print_frequency=10))
+    sol = s.solve(di.initial_state(), di.initial_controls())
     jax.effects_barrier()
     out, _ = capfd.readouterr()
-    assert "iter" not in out or True   # callback output formatting is async;
-    # just assert the solve didn't crash with logging enabled
+    assert "iter" in out and "objective" in out        # header
+    assert "  10  " in out                             # a rate-limited row
+    assert "Optimal solution found" in out             # exit message
+    assert bool(sol.converged)
 
 
 def test_ls_failure_resets_preserves_golden():
