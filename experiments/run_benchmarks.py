@@ -47,9 +47,21 @@ def main():
                                   double_integrator, pushing)
 
     options = Options(optimality_tolerance=args.tol, max_iterations=1000)
-    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "results")
+    here = os.path.dirname(os.path.abspath(__file__))
+    outdir = os.path.join(here, "results")
+    paramdir = os.path.join(here, "params")
     os.makedirs(outdir, exist_ok=True)
+    os.makedirs(paramdir, exist_ok=True)
+
+    def write_params(name, rows):
+        """Per-seed instance parameters, one whitespace-joined row per seed,
+        in the reference's layout (reference: experiments/ipddp2/concar.jl:
+        169-173) so an external solver can replay our exact instances."""
+        path = os.path.join(paramdir, f"{name}.txt")
+        with open(path, "w") as io:
+            for row in np.asarray(rows):
+                io.write(" ".join(repr(float(v)) for v in row) + "\n")
+        print(f"  params -> {path}")
 
     def run(name, problem, bounds, x1s, u0s, thetas):
         t0 = time.time()
@@ -102,17 +114,43 @@ def main():
         elif name in ("concar", "concar_quad"):
             m = concar if name == "concar" else concar_quad
             thetas, bounds, x1s, u0s = batched(m, True)
+            # [F_lim, tau_lim, obs1..4 (x,y,r), x1] (reference:
+            # experiments/ipddp2/concar.jl:153)
+            f_lims = np.asarray(bounds.upper)[:, 0, 0]
+            tau_lims = np.asarray(bounds.upper)[:, 0, 1]
+            write_params(name, np.column_stack(
+                [f_lims, tau_lims,
+                 np.asarray(thetas.obstacles).reshape(n, 12),
+                 np.asarray(x1s)]))
             run(name, m.problem(), bounds, x1s, u0s, thetas)
         elif name == "cartpole":
             thetas, bounds, x1s, u0s = batched(cartpole, False)
+            # [mc, mp, l, friction1, friction2] (reference:
+            # experiments/ipddp2/cartpole_friction.jl:123)
+            write_params("cartpole_friction", np.column_stack(
+                [np.asarray(thetas.mc), np.asarray(thetas.mp),
+                 np.asarray(thetas.l), np.asarray(thetas.friction)]))
             run("cartpole_friction", cartpole.problem(), bounds, x1s, u0s,
                 thetas)
         elif name == "acrobot":
             thetas, bounds, x1s, u0s = batched(acrobot, False)
+            # [m1, I1, l1, lc1, m2, I2, l2, lc2]; I=0.333, lc=0.5 are fixed
+            # (reference: experiments/ipddp2/acrobot_contact.jl:38-47,131)
+            const = np.full(n, 0.333), np.full(n, 0.5)
+            write_params("acrobot_contact", np.column_stack(
+                [np.asarray(thetas.m1), const[0], np.asarray(thetas.l1),
+                 const[1], np.asarray(thetas.m2), const[0],
+                 np.asarray(thetas.l2), const[1]]))
             run("acrobot_contact", acrobot.problem(), bounds, x1s, u0s,
                 thetas)
         elif name == "pushing":
             thetas, bounds, x1s, u0s = batched(pushing, False)
+            # [zx, zy, c, mu_fric, obstacle (x,y,r)] (reference:
+            # experiments/ipddp2/pushing_1_obs.jl:157)
+            write_params("pushing_1_obs", np.column_stack(
+                [np.asarray(thetas.zx), np.asarray(thetas.zy),
+                 np.asarray(thetas.c), np.asarray(thetas.mu_fric),
+                 np.asarray(thetas.obstacle)]))
             run("pushing_1_obs", pushing.problem(), bounds, x1s, u0s, thetas)
         else:
             print(f"unknown problem {name}", file=sys.stderr)

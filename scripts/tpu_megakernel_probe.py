@@ -27,6 +27,9 @@ from ipddp2tpu.models import concar
 BATCH = int(os.environ.get("PROBE_BATCH", "64"))
 ITERS = int(os.environ.get("PROBE_ITERS", "30"))
 KERNELS = os.environ.get("PROBE_KERNELS", "pallas,xla").split(",")
+QN = bool(int(os.environ.get("PROBE_QN", "0")))    # quasi-Newton ablation:
+                                                   # drops the lam.d2f / phi.d2c
+                                                   # contractions + sec terms
 
 problem = concar.problem()
 
@@ -44,7 +47,8 @@ def make(seed):
 
 for kern in KERNELS:
     options = Options(optimality_tolerance=1e-10, max_iterations=ITERS,
-                      ldlt_unroll=False, backward_kernel=kern)
+                      ldlt_unroll=False, backward_kernel=kern,
+                      quasi_newton=QN)
     t0 = time.time()
     b, x, u, th = make(1)
     sol = solve_chunked(problem, b, x, u, theta=th, options=options,
@@ -59,6 +63,7 @@ for kern in KERNELS:
     iters = np.asarray(sol.iterations)
     wall = time.time() - t0
     total_iters = int(iters.max())
-    print(f"{kern}: b={BATCH} {wall:.2f}s for {total_iters} batch-iters -> "
+    print(f"{kern}{' qn' if QN else ''}: b={BATCH} {wall:.2f}s for "
+          f"{total_iters} batch-iters -> "
           f"{1e3 * wall / max(total_iters, 1):.1f} ms/iter "
           f"(compile+1st {compile_s:.1f}s)", flush=True)
