@@ -135,9 +135,12 @@ def main():
                         if abs(objs[i] - r[3]) <= 1e-4 * max(1.0, abs(r[3])))
         it_ratio = np.array([iters[i] / max(r[1], 1) for r, i in both])
         med_ratio = float(np.median(it_ratio))
+        med_obj_ours = float(np.median([objs[i] for _, i in both]))
+        med_obj_ref = float(np.median([r[3] for r, _ in both]))
         print(f"{name}: ours {ours_ok}/{len(ref)} vs ref {ref_ok}/{len(ref)}"
               f" | same-objective (1e-4): {obj_close}/{len(both)}"
-              f" | median iter-ratio ours/ref {med_ratio:.3f}")
+              f" | median iter-ratio ours/ref {med_ratio:.3f}"
+              f" | median obj {med_obj_ours:.6e} vs {med_obj_ref:.6e}")
         mism = [(r[0], int(iters[i]), r[1], objs[i], r[3])
                 for r, i in both
                 if abs(objs[i] - r[3]) > 1e-4 * max(1.0, abs(r[3]))]

@@ -283,7 +283,28 @@ def _make_sweep(problem: Problem, options: Options):
                       or (mode == "auto"
                           and mu.dtype == jnp.float32
                           and jax.default_backend() == "tpu"))
-        if use_pallas:
+        use_df64 = mu.dtype == jnp.float64 and (
+            mode == "pallas_df64"
+            or (mode == "auto" and jax.default_backend() == "tpu"))
+        if use_df64:
+            # f64 endgame sweep as the double-single Pallas megakernel
+            # (TPU has no native f64; see ops/backward_pallas_df64.py)
+            from .ops.backward_pallas_df64 import backward_sweep_pallas_df64
+            c_rel, il, iu, phi, zl, zu = nominal
+            T, nz = problem.T, problem.nx + problem.nu
+            sec = (second if second is not None
+                   else jnp.zeros((axis_size, T, nz, nz), mu.dtype))
+            gains_t, dL, fail, singular = backward_sweep_pallas_df64(
+                deriv.fx, deriv.fu, deriv.lx, deriv.lu, deriv.lxx,
+                deriv.lux, deriv.luu, deriv.cx, deriv.cu, sec,
+                c_rel, il, iu, phi, zl, zu, deriv.lTx, deriv.lTxx,
+                mu, reg, delta_c,
+                nx=problem.nx, nu=problem.nu, nc=problem.nc,
+                refine=max(options.refine_steps, 1),
+                interpret=None if mode == "auto" else
+                (jax.default_backend() != "tpu"))
+            out = (Gains(*gains_t), dL, fail, singular)
+        elif use_pallas:
             from .ops.backward_pallas import backward_sweep_pallas
             c_rel, il, iu, phi, zl, zu = nominal
             T, nz = problem.T, problem.nx + problem.nu

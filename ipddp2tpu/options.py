@@ -91,9 +91,14 @@ class Options:
                                         # depth, same semantics)
     backward_kernel: str = "auto"       # batched backward-sweep dispatch:
                                         # "auto"   = fused Pallas megakernel
-                                        #            when vmapped, f32, on TPU
-                                        # "pallas" = always the megakernel
+                                        #            when vmapped on TPU (f32
+                                        #            kernel for f32, df64
+                                        #            double-single kernel for
+                                        #            f64)
+                                        # "pallas" = always the f32 megakernel
                                         #            (interpret mode off-TPU)
+                                        # "pallas_df64" = always the df64
+                                        #            endgame megakernel
                                         # "xla"    = always the vmapped scan
     ldlt_unroll: bool = True            # unroll the factorization column loop
                                         # (faster dispatch; False shrinks the

@@ -145,10 +145,27 @@ class Solver:
         assert len(dynamics) == T, (
             "length(dynamics) + 1 == length(objectives) "
             "(reference: src/data/problem.jl:41)")
-        nx = dynamics[0].num_state
-        assert all(d.num_state == nx for d in dynamics), (
-            "per-stage state dimension must be uniform (the reference's "
-            "benchmarks only vary the control/constraint dims, SURVEY.md §0)")
+        # Per-stage state dims may vary (reference README.md:19; the
+        # reference infers num_next_state by tracing f, src/dynamics.jl:19).
+        # Ragged nx is lifted to the uniform [T+1, nx_max] layout by zero
+        # padding: padded state slots carry f_pad = 0 dynamics (exactly
+        # decoupled — the backward pass never inverts fx, so zero rows/cols
+        # are harmless) and every stage fn reads only its true slice.
+        nxs = [d.num_state for d in dynamics]
+        next_nxs = [
+            jax.eval_shape(d.f, jax.ShapeDtypeStruct((d.num_state,),
+                                                     jnp.float64),
+                           jax.ShapeDtypeStruct((d.num_control,),
+                                                jnp.float64)).shape[0]
+            for d in dynamics]
+        for t in range(T - 1):
+            assert next_nxs[t] == nxs[t + 1], (
+                f"dynamics[{t}] produces {next_nxs[t]} states but "
+                f"dynamics[{t + 1}] consumes {nxs[t + 1]}")
+        nxs = nxs + [next_nxs[-1]]          # nxs[t] = state dim entering t
+        nx = max(nxs)
+        self._nxs = nxs
+        self._ragged_nx = len(set(nxs)) > 1
 
         if constraints is None:
             constraints = [Constraint(nx, d.num_control) for d in dynamics]
@@ -173,33 +190,45 @@ class Solver:
         assert all(c.indices_compl == compl for c in stage_cons), (
             "complementarity rows must be uniform across stages")
 
-        def pad_stage(f, nu_t, pass_xu=True):
+        def pad_stage(f, nu_t, nx_t, nx_n):
             if f is None:
                 return None
-            return lambda x, u: f(x, u[:nu_t])
+
+            def dyn(x, u):
+                y = f(x[:nx_t], u[:nu_t])
+                if nx_n < nx:           # padded state slots evolve as 0
+                    y = jnp.concatenate([y, jnp.zeros(nx - nx_n, x.dtype)])
+                return y
+            return dyn
 
         dyn_fn = _lower_stagewise(
-            [pad_stage(d.f, nu_t) for d, nu_t in zip(dynamics, nus)], nx,
-            keys=[(d.f, nu_t) for d, nu_t in zip(dynamics, nus)])
+            [pad_stage(d.f, nu_t, nx_t, nx_n)
+             for d, nu_t, nx_t, nx_n in zip(dynamics, nus, nxs, nxs[1:])],
+            nx,
+            keys=[(d.f, nu_t, nx_t, nx_n)
+                  for d, nu_t, nx_t, nx_n in zip(dynamics, nus, nxs,
+                                                 nxs[1:])])
 
         pad_cost = self.PAD_COST
 
-        def make_cost(f, nu_t):
+        def make_cost(f, nu_t, nx_t):
             def cost(x, u):
                 pad = u[nu_t:]
-                return f(x, u[:nu_t]) + pad_cost * jnp.dot(pad, pad)
+                return f(x[:nx_t], u[:nu_t]) + pad_cost * jnp.dot(pad, pad)
             return cost
 
         cost_fn = _lower_stagewise(
-            [make_cost(o.f, nu_t)
-             for o, nu_t in zip(objectives[:T], nus)], nx,
-            keys=[(o.f, nu_t) for o, nu_t in zip(objectives[:T], nus)])
+            [make_cost(o.f, nu_t, nx_t)
+             for o, nu_t, nx_t in zip(objectives[:T], nus, nxs)], nx,
+            keys=[(o.f, nu_t, nx_t)
+                  for o, nu_t, nx_t in zip(objectives[:T], nus, nxs)])
         term_f = objectives[T].f
+        nx_T = nxs[T]
 
         if nc_max > 0:
-            def make_con(c, nu_t, nc_t):
+            def make_con(c, nu_t, nc_t, nx_t):
                 def con(x, u):
-                    rows = (c.f(x, u[:nu_t]) if c.f is not None
+                    rows = (c.f(x[:nx_t], u[:nu_t]) if c.f is not None
                             else jnp.zeros((0,), x.dtype))
                     # pin the first (nc_max - nc_t) padded controls
                     pins = u[nu_t:nu_t + (nc_max - nc_t)]
@@ -207,10 +236,12 @@ class Solver:
                 return con
 
             con_fn = _lower_stagewise(
-                [make_con(c, nu_t, nc_t)
-                 for c, nu_t, nc_t in zip(stage_cons, nus, ncs)], nx,
-                keys=[(c.f, nu_t, nc_t)
-                      for c, nu_t, nc_t in zip(stage_cons, nus, ncs)])
+                [make_con(c, nu_t, nc_t, nx_t)
+                 for c, nu_t, nc_t, nx_t in zip(stage_cons, nus, ncs, nxs)],
+                nx,
+                keys=[(c.f, nu_t, nc_t, nx_t)
+                      for c, nu_t, nc_t, nx_t in zip(stage_cons, nus, ncs,
+                                                     nxs)])
         else:
             con_fn = None
 
@@ -222,7 +253,8 @@ class Solver:
         self.problem = Problem(
             T=T, nx=nx, nu=nu, nc=nc,
             dynamics=dyn_fn, stage_cost=cost_fn,
-            terminal_cost=lambda x, theta: term_f(x, jnp.zeros((0,), x.dtype)),
+            terminal_cost=lambda x, theta: term_f(x[:nx_T],
+                                                  jnp.zeros((0,), x.dtype)),
             constraints=con_fn, compl_indices=compl)
         self.bounds = Bounds(
             lower=jnp.asarray(np.stack(
@@ -254,6 +286,9 @@ class Solver:
             u_init = np.stack([
                 np.concatenate([v, np.zeros(nu - v.size)]) for v in u_init])
         x1 = jnp.asarray(x1)
+        if x1.shape[0] < self.problem.nx:      # ragged-nx lift (README:19)
+            x1 = jnp.concatenate(
+                [x1, jnp.zeros(self.problem.nx - x1.shape[0], x1.dtype)])
         u_init = jnp.asarray(u_init, dtype=x1.dtype)
         if self.options.verbose:
             from .utils.printing import solver_banner
@@ -273,9 +308,14 @@ class Solver:
 
 def get_trajectory(solver: Solver):
     """(states, controls) of the accepted iterate
-    (reference: src/solver.jl:46-48)."""
+    (reference: src/solver.jl:46-48). With ragged per-stage state dims the
+    states come back as a list of per-stage vectors trimmed to each stage's
+    true dimension (the uniform case returns dense [T+1, nx] / [T, nu])."""
     assert solver.solution is not None, "call solver.solve first"
-    return solver.solution.x, solver.solution.u
+    x, u = solver.solution.x, solver.solution.u
+    if getattr(solver, "_ragged_nx", False):
+        x = [x[t, :n] for t, n in enumerate(solver._nxs)]
+    return x, u
 
 def current_trajectory(solver: Solver):
     """Alias of the accepted iterate (the functional core keeps no separate

@@ -70,11 +70,17 @@ def run_once(seed, label):
     k64 = np.asarray(s64.k) - k32
     solved = int(conv.sum())
     total = t2 - t0
+    pct = lambda a: np.percentile(a, [50, 75, 90, 95, 99, 100]).astype(int)
     print(f"{label}: b={BATCH} f32 {t1 - t0:.1f}s "
           f"(iters med {np.median(k32):.0f} max {k32.max()}), "
           f"f64 {t2 - t1:.1f}s (iters med {np.median(k64):.0f} "
           f"max {k64.max()}), solved {solved}/{BATCH} "
           f"-> {solved / total:.3f} OCPs/s", flush=True)
+    print(f"  k32 p50/75/90/95/99/100: {pct(k32)}", flush=True)
+    print(f"  k64 p50/75/90/95/99/100: {pct(k64)}", flush=True)
+    print(f"  unconverged: {int((~conv).sum())}, their k32 "
+          f"{k32[~conv] if (~conv).any() else '[]'} k64 "
+          f"{k64[~conv] if (~conv).any() else '[]'}", flush=True)
 
 
 run_once(1, "warm(compile)")

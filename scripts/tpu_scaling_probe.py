@@ -32,10 +32,14 @@ BATCHES = [int(b) for b in
 ITERS = int(os.environ.get("PROBE_ITERS", "30"))
 REPS = int(os.environ.get("PROBE_REPS", "3"))
 KERNEL = os.environ.get("PROBE_KERNEL", "pallas")
+DTYPE = {"f32": "float32", "f64": "float64"}[
+    os.environ.get("PROBE_DTYPE", "f32")]
+QN = bool(int(os.environ.get("PROBE_QN", "0")))
 
 problem = concar.problem()
 options = Options(optimality_tolerance=1e-10, max_iterations=ITERS,
-                  ldlt_unroll=False, backward_kernel=KERNEL)
+                  ldlt_unroll=False, backward_kernel=KERNEL,
+                  quasi_newton=QN)
 
 
 def make(seed, batch):
@@ -44,7 +48,7 @@ def make(seed, batch):
     u0 = jnp.broadcast_to(concar.initial_controls(),
                           (batch, concar.T, concar.NU))
     args = (concar.bounds(f_lims, tau_lims), x1s, u0, thetas)
-    cast = lambda a: (a.astype(jnp.float32)
+    cast = lambda a: (a.astype(getattr(jnp, DTYPE))
                       if jnp.issubdtype(a.dtype, jnp.floating) else a)
     return jax.tree.map(cast, args)
 
