@@ -58,16 +58,22 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
 
 def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
                 options: Optional[Options] = None, chunk: int = 25,
-                batched: bool = False):
+                batched: bool = False, total=None):
     """Continue `run` from an existing state in host-resumed chunks
     (the warm-start entry point for chunked execution).
 
     Iteration limits are per-instance (state.k + chunk for the still-running
     ones), so a batch with heterogeneous progress — e.g. a warm-started
     second phase where some instances already spent their budget — advances
-    every live instance regardless of the stragglers."""
+    every live instance regardless of the stragglers.
+
+    `total` overrides options.max_iterations as the iteration ceiling; it
+    may be a per-instance array (e.g. `state.k + phase2_budget` to bound a
+    warm-started endgame per instance)."""
     options = options or Options()
-    total = options.max_iterations
+    if total is None:
+        total = options.max_iterations
+    total = np.asarray(total)
 
     @jax.jit
     def run_chunk(state, bounds, theta, k_limits):

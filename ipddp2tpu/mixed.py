@@ -55,10 +55,17 @@ def promote_state(problem: Problem, bounds: Bounds, state: SolverState,
 def solve_mixed(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
                 options: Optional[Options] = None,
                 phase1_tolerance: float = 3e-4,
+                phase1_max_iterations: Optional[int] = None,
                 return_state: bool = False):
     """Two-phase solve. `bounds`/`x1`/`u_init`/`theta` may be f32 or f64;
     phase 1 runs in f32 to `phase1_tolerance`, phase 2 in f64 to
-    `options.optimality_tolerance`. Fully jittable / vmappable."""
+    `options.optimality_tolerance`. Fully jittable / vmappable.
+
+    `phase1_max_iterations` caps the f32 phase separately: the iteration
+    budget (`options.max_iterations`) is shared across phases (k carries
+    through the promote, reference max-iterations semantics), so without a
+    cap an f32-stalled instance burns its whole budget before the f64
+    endgame can rescue it."""
     options = options or Options()
     f32 = jnp.float32
     cast32 = lambda a: (a.astype(f32)
@@ -66,8 +73,11 @@ def solve_mixed(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
                         else a)
     bounds32 = jax.tree.map(cast32, bounds)
     theta32 = jax.tree.map(cast32, theta) if theta is not None else None
+    p1_max = min(options.max_iterations,
+                 phase1_max_iterations or options.max_iterations)
     opts32 = options.__class__(**{
-        **options.__dict__, "optimality_tolerance": phase1_tolerance})
+        **options.__dict__, "optimality_tolerance": phase1_tolerance,
+        "max_iterations": p1_max})
 
     s32 = initialize(problem, theta32, bounds32,
                      jnp.asarray(x1, f32), jnp.asarray(u_init, f32), opts32)
@@ -92,10 +102,20 @@ def solve_mixed(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
 def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                         theta=None, options: Optional[Options] = None,
                         phase1_tolerance: float = 3e-4, chunk: int = 25,
+                        phase1_max_iterations: Optional[int] = None,
+                        phase2_max_iterations: Optional[int] = None,
+                        phase2_ls_speculative: Optional[int] = None,
+                        rescue_failed: bool = True,
                         batched: bool = False):
     """Chunked two-phase solve: f32 bulk phase, f64 endgame, each as
     host-resumed short device programs (for runtimes that kill long
-    executions). Batched variant vmaps over a leading instance axis."""
+    executions). Batched variant vmaps over a leading instance axis.
+    `phase1_max_iterations`: see solve_mixed. `phase2_max_iterations` caps
+    each instance's f64 iterations beyond its promote point — normal
+    endgames take ~6-25 f64 iterations, but an instance whose f32 phase
+    FAILED (not merely hit tolerance) triggers a near-full-length f64
+    rescue (hundreds of iterations) that can cost more wall than the rest
+    of the batch combined; the cap bounds that."""
     from .chunked import run_chunked, solve_chunked
 
     options = options or Options()
@@ -105,8 +125,11 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                         else a)
     b32 = jax.tree.map(cast32, bounds)
     th32 = jax.tree.map(cast32, theta) if theta is not None else None
+    p1_max = min(options.max_iterations,
+                 phase1_max_iterations or options.max_iterations)
     opts32 = options.__class__(**{
-        **options.__dict__, "optimality_tolerance": phase1_tolerance})
+        **options.__dict__, "optimality_tolerance": phase1_tolerance,
+        "max_iterations": p1_max})
 
     _, s32 = solve_chunked(problem, b32, jax.tree.map(cast32, x1),
                            jax.tree.map(cast32, u_init), theta=th32,
@@ -118,15 +141,36 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                                           jnp.floating) else a)
     b64 = jax.tree.map(cast64, bounds)
     th64 = jax.tree.map(cast64, theta) if theta is not None else None
+    opts64 = options
+    if phase2_ls_speculative is not None:
+        opts64 = options.__class__(**{
+            **options.__dict__,
+            "ls_speculative": phase2_ls_speculative})
     if batched:
         s64 = jax.vmap(
-            lambda st, bb, tt: promote_state(problem, bb, st, tt, options),
+            lambda st, bb, tt: promote_state(problem, bb, st, tt, opts64),
             in_axes=(0, Bounds(0, 0), None if theta is None else 0))(
             s32, b64, th64)
     else:
-        s64 = promote_state(problem, b64, s32, th64, options)
-    s64 = run_chunked(problem, b64, s64, th64, options, chunk=chunk,
-                      batched=batched)
+        s64 = promote_state(problem, b64, s32, th64, opts64)
+    import numpy as np
+    total2 = None
+    if phase2_max_iterations is not None:
+        total2 = np.minimum(np.asarray(options.max_iterations),
+                            np.asarray(s64.k) + phase2_max_iterations)
+    if not rescue_failed:
+        # Deny the f64 endgame to instances whose f32 phase FAILED (did not
+        # reach phase-1 tolerance): a rescue is a near-full-length f64
+        # re-solve, and under lockstep vmap ONE early-stage instance drags
+        # every batch iteration to early-iteration cost (heavy line-search
+        # trip counts are max-over-batch). Throughput-optimal serving lets
+        # them fail; route retries to a fresh f64 batch instead.
+        healthy = np.asarray(s32.converged)
+        base = (np.asarray(options.max_iterations) if total2 is None
+                else total2)
+        total2 = np.where(healthy, base, np.asarray(s64.k))
+    s64 = run_chunked(problem, b64, s64, th64, opts64, chunk=chunk,
+                      batched=batched, total=total2)
     return Solution(
         x=s64.x, u=s64.u, phi=s64.phi, zl=s64.zl, zu=s64.zu, lam=s64.lam,
         objective=s64.objective, iterations=s64.k, status=s64.status,

@@ -32,8 +32,12 @@ P1TOL = float(os.environ.get("PROBE_P1TOL", "3e-4"))
 TOL = float(os.environ.get("PROBE_TOL", "1e-7"))
 
 problem = concar.problem()
+SPEC = int(os.environ.get("PROBE_SPEC", "0"))          # phase-1 LS mode
+P2SPEC = int(os.environ.get("PROBE_P2SPEC", "0"))      # phase-2 LS mode
+RESCUE = bool(int(os.environ.get("PROBE_RESCUE", "1")))
+P2MAX = int(os.environ.get("PROBE_P2MAX", "0")) or None
 options = Options(optimality_tolerance=TOL, max_iterations=600,
-                  ldlt_unroll=False)
+                  ldlt_unroll=False, ls_speculative=SPEC)
 opts32 = options.__class__(**{
     **options.__dict__, "optimality_tolerance": P1TOL})
 
@@ -59,11 +63,20 @@ def run_once(seed, label):
     k32 = np.asarray(s32.k)
     t1 = time.time()
 
+    opts64 = (options if not P2SPEC else options.__class__(
+        **{**options.__dict__, "ls_speculative": P2SPEC}))
     s64 = jax.vmap(
-        lambda st, bb, tt: promote_state(problem, bb, st, tt, options),
+        lambda st, bb, tt: promote_state(problem, bb, st, tt, opts64),
         in_axes=(0, Bounds(0, 0), 0))(s32, bounds, thetas)
-    s64 = run_chunked(problem, bounds, s64, thetas, options, chunk=CHUNK,
-                      batched=True)
+    total2 = None
+    if P2MAX is not None:
+        total2 = np.minimum(600, np.asarray(s64.k) + P2MAX)
+    if not RESCUE:
+        base = np.asarray(600) if total2 is None else total2
+        total2 = np.where(np.asarray(s32.converged), base,
+                          np.asarray(s64.k))
+    s64 = run_chunked(problem, bounds, s64, thetas, opts64, chunk=CHUNK,
+                      batched=True, total=total2)
     conv = np.asarray(s64.converged)
     t2 = time.time()
 
@@ -83,5 +96,7 @@ def run_once(seed, label):
           f"{k64[~conv] if (~conv).any() else '[]'}", flush=True)
 
 
-run_once(1, "warm(compile)")
-run_once(2, "measured    ")
+SEEDS = [int(s) for s in os.environ.get("PROBE_SEEDS", "1,2").split(",")]
+run_once(SEEDS[0], "warm(compile)")
+for sd in SEEDS[1:]:
+    run_once(sd, f"measured s{sd} ")
