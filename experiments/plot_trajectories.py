@@ -117,8 +117,43 @@ def plot_quadrotor():
     print("wrote", os.path.join(OUT, "quadrotor.png"))
 
 
+def plot_pushing():
+    """Slider path around the obstacle + contact-mode signals (the analog of
+    the reference's pushing animation, media/*.mp4, and the plot block in
+    experiments/ipddp2/pushing_1_obs.jl)."""
+    from ipddp2tpu.models import pushing as m
+
+    theta = m.seed1_instance()
+    sol = solve(m.problem(), m.bounds(), m.initial_state(),
+                m.initial_controls(), theta=theta, options=OPTS)
+    x = np.asarray(sol.x)
+    u = np.asarray(sol.u)
+    obs = np.asarray(theta.obstacle)
+    fig, axes = plt.subplots(1, 2, figsize=(11, 5))
+    ax = axes[0]
+    ax.add_patch(plt.Circle((obs[0], obs[1]), obs[2], color="tab:red",
+                            alpha=0.4))
+    ax.plot(x[:, 0], x[:, 1], "-o", ms=2, color="tab:blue")
+    ax.plot(*m.X_GOAL[:2], "*", ms=15, color="gold")
+    ax.set_aspect("equal")
+    ax.set_title("slider path")
+    ax = axes[1]
+    t = np.arange(m.T) * m.DT
+    ax.plot(t, u[:, 0], label="normal force")
+    ax.plot(t, u[:, 1], label="tangential force")
+    ax.plot(t, x[:-1, 3], label="contact angle phi")
+    ax.legend()
+    ax.set_title("contact signals")
+    fig.suptitle(f"pushing_1_obs seed 1 — {int(sol.iterations)} iters, "
+                 f"J={float(sol.objective):.5f}")
+    fig.savefig(os.path.join(OUT, "pushing_1_obs_seed1.png"), dpi=120)
+    print("wrote", os.path.join(OUT, "pushing_1_obs_seed1.png"))
+
+
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["concar", "cartpole", "acrobot", "quadrotor"]
+    which = sys.argv[1:] or ["concar", "cartpole", "acrobot", "quadrotor",
+                             "pushing"]
     for name in which:
         {"concar": plot_concar, "cartpole": plot_cartpole,
-         "acrobot": plot_acrobot, "quadrotor": plot_quadrotor}[name]()
+         "acrobot": plot_acrobot, "quadrotor": plot_quadrotor,
+         "pushing": plot_pushing}[name]()
