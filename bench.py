@@ -74,15 +74,17 @@ def worker(batch: int, mode: str, tol: float):
         # rest of the batch (one observed rescue: 509 f64 iters = 271 s).
         # Throughput-optimal: bound the rescue, let hopeless instances fail.
         p1_max = int(os.environ.get("BENCH_P1MAX", "0")) or None
-        p2_max = int(os.environ.get("BENCH_P2MAX", "60"))
+        p2_max = int(os.environ.get("BENCH_P2MAX", "40"))
 
         rescue = bool(int(os.environ.get("BENCH_RESCUE", "0")))
+        p2_spec = int(os.environ.get("BENCH_P2SPEC", "16"))
 
         def run(b, x, u, th):
             return solve_mixed_chunked(problem, b, x, u, theta=th,
                                        options=options, chunk=chunk,
                                        phase1_max_iterations=p1_max,
                                        phase2_max_iterations=p2_max,
+                                       phase2_ls_speculative=p2_spec or None,
                                        rescue_failed=rescue,
                                        batched=True)
     else:
@@ -140,7 +142,7 @@ def main():
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
     _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT", "2400")))
     ladder = os.environ.get(
-        "BENCH_LADDER", "256:mixed,64:mixed,16:mixed,8:f64")
+        "BENCH_LADDER", "512:mixed,256:mixed,64:mixed,8:f64")
 
     best = None
     attempts = []
