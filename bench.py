@@ -78,6 +78,9 @@ def worker(batch: int, mode: str, tol: float):
 
         rescue = bool(int(os.environ.get("BENCH_RESCUE", "0")))
         p2_spec = int(os.environ.get("BENCH_P2SPEC", "16"))
+        # freeze f32-stalled instances (no mu / KKT progress) instead of
+        # letting them stretch the lockstep batch to the iteration cap
+        stall = int(os.environ.get("BENCH_STALL", "0")) or None
 
         def run(b, x, u, th):
             return solve_mixed_chunked(problem, b, x, u, theta=th,
@@ -85,6 +88,7 @@ def worker(batch: int, mode: str, tol: float):
                                        phase1_max_iterations=p1_max,
                                        phase2_max_iterations=p2_max,
                                        phase2_ls_speculative=p2_spec or None,
+                                       phase1_stall_window=stall,
                                        rescue_failed=rescue,
                                        batched=True)
     else:

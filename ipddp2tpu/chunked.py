@@ -25,12 +25,21 @@ from .solve import Solution, initialize, run
 
 def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
                   options: Optional[Options] = None, chunk: int = 25,
-                  batched: bool = False, return_state: bool = False):
+                  batched: bool = False, return_state: bool = False,
+                  stall_window: Optional[int] = None):
     """Solve (a batch of) instances with host-resumed iteration chunks.
 
     With `batched`, all array arguments carry a leading instance axis and the
     chunk loop continues until every instance converged/failed or the
     iteration budget is exhausted.
+
+    `stall_window` (iterations) enables host-side stall freezing: a batched
+    instance whose barrier parameter mu has not decreased AND whose KKT
+    error has not improved by >=1.2x over the window is frozen (status 9).
+    In a lockstep batch the handful of stalled instances otherwise run to
+    the full iteration cap and stretch the whole batch's wall; they do not
+    converge anyway (measured: the bench's f32-phase failures all sit at
+    the cap).
     """
     options = options or Options()
     total = options.max_iterations
@@ -45,7 +54,8 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
         state = initialize(problem, theta, bounds, x1, u_init, options)
 
     state = run_chunked(problem, bounds, state, theta, options,
-                        chunk=chunk, batched=batched)
+                        chunk=chunk, batched=batched,
+                        stall_window=stall_window if batched else None)
 
     sol = Solution(
         x=state.x, u=state.u, phi=state.phi, zl=state.zl, zu=state.zu,
@@ -58,7 +68,8 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
 
 def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
                 options: Optional[Options] = None, chunk: int = 25,
-                batched: bool = False, total=None):
+                batched: bool = False, total=None,
+                stall_window: Optional[int] = None):
     """Continue `run` from an existing state in host-resumed chunks
     (the warm-start entry point for chunked execution).
 
@@ -86,12 +97,32 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
         return run(problem, bounds, state, theta, options,
                    k_limit=k_limits)
 
+    stall = None
     while True:
         k_now = np.asarray(state.k)
         conv = np.asarray(state.converged)
         status = np.asarray(state.status)
         running = (~conv & ((status == 0) | (status == 8))
                    & (k_now < total))
+        if stall_window is not None:
+            err = np.maximum(np.asarray(state.primal_inf),
+                             np.maximum(np.asarray(state.dual_inf),
+                                        np.asarray(state.cs_inf)))
+            mu_now = np.asarray(state.mu)
+            if stall is None:
+                stall = {"err": err, "mu": mu_now,
+                         "k": k_now.astype(float)}
+            else:
+                improved = (err < stall["err"] / 1.2) | (mu_now
+                                                         < stall["mu"])
+                stall["err"] = np.where(improved, err, stall["err"])
+                stall["mu"] = np.minimum(mu_now, stall["mu"])
+                stall["k"] = np.where(improved, k_now, stall["k"])
+                stalled = running & (k_now - stall["k"] >= stall_window)
+                if stalled.any():
+                    state = state._replace(status=jnp.where(
+                        jnp.asarray(stalled), jnp.int32(9), state.status))
+                    running = running & ~stalled
         if not np.any(running):
             break
         # clear transient hit-the-chunk-cap stops on the running instances

@@ -105,6 +105,7 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                         phase1_max_iterations: Optional[int] = None,
                         phase2_max_iterations: Optional[int] = None,
                         phase2_ls_speculative: Optional[int] = None,
+                        phase1_stall_window: Optional[int] = None,
                         rescue_failed: bool = True,
                         batched: bool = False):
     """Chunked two-phase solve: f32 bulk phase, f64 endgame, each as
@@ -134,7 +135,8 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
     _, s32 = solve_chunked(problem, b32, jax.tree.map(cast32, x1),
                            jax.tree.map(cast32, u_init), theta=th32,
                            options=opts32, chunk=chunk, batched=batched,
-                           return_state=True)
+                           return_state=True,
+                           stall_window=phase1_stall_window)
 
     cast64 = lambda a: (a.astype(jnp.float64)
                         if jnp.issubdtype(jnp.asarray(a).dtype,

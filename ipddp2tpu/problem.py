@@ -142,10 +142,15 @@ STATUS_SUFFICIENT_PROGRESS = 5    # (transient) theta/L progress failed
 STATUS_SOC_FAILED = 6             # reserved (reference never sets it)
 STATUS_LINE_SEARCH_FAILED = 7     # step size underflowed machine eps
 STATUS_MAX_ITERATIONS = 8
+STATUS_STALLED = 9                # host-side stall freeze (no mu / KKT-error
+                                  # progress over solve_chunked's
+                                  # stall_window; ours — the reference has
+                                  # no equivalent and burns to max_iter)
 
 STATUS_MESSAGES = {
     STATUS_OK: "Optimal solution found",
     STATUS_BACKWARD_FAILED: "Backward pass failure: unable to find positive definite iteration matrix",
     STATUS_LINE_SEARCH_FAILED: "Line search failed to find a suitable iterate",
     STATUS_MAX_ITERATIONS: "Maximum solver iterations reached",
+    STATUS_STALLED: "Stalled: frozen by the chunked driver (no progress)",
 }
