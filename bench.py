@@ -77,7 +77,7 @@ def worker(batch: int, mode: str, tol: float):
         p2_max = int(os.environ.get("BENCH_P2MAX", "40"))
 
         rescue = bool(int(os.environ.get("BENCH_RESCUE", "0")))
-        p2_spec = int(os.environ.get("BENCH_P2SPEC", "16"))
+        p2_spec = int(os.environ.get("BENCH_P2SPEC", "8"))
         # freeze f32-stalled instances (no mu / KKT progress) instead of
         # letting them stretch the lockstep batch to the iteration cap
         stall = int(os.environ.get("BENCH_STALL", "0")) or None
