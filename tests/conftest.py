@@ -21,11 +21,3 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache: reruns skip XLA CPU JIT compilation entirely.
-# Besides speed, this bounds in-process compiler memory growth — a full
-# serial suite run otherwise accumulates enough LLVM JIT state to segfault
-# XLA during late compilations (observed at test_priccati after ~63 tests).
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), os.pardir,
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
