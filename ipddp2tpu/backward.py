@@ -279,13 +279,17 @@ def _make_sweep(problem: Problem, options: Options):
             bc, [deriv, nominal, second, mu, reg, delta_c], in_batched)
 
         mode = options.backward_kernel
+        # auto never overrides an explicit non-LDLT inertia oracle: the
+        # kernels count exact-zero pivots, not eigh's atol signs
+        ldl = options.inertia_method == "ldl"
         use_pallas = (mode == "pallas"
-                      or (mode == "auto"
+                      or (mode == "auto" and ldl
                           and mu.dtype == jnp.float32
                           and jax.default_backend() == "tpu"))
         use_df64 = mu.dtype == jnp.float64 and (
             mode == "pallas_df64"
-            or (mode == "auto" and jax.default_backend() == "tpu"))
+            or (mode == "auto" and ldl
+                and jax.default_backend() == "tpu"))
         if use_df64:
             # f64 endgame sweep as the double-single Pallas megakernel
             # (TPU has no native f64; see ops/backward_pallas_df64.py)
@@ -301,6 +305,7 @@ def _make_sweep(problem: Problem, options: Options):
                 mu, reg, delta_c,
                 nx=problem.nx, nu=problem.nu, nc=problem.nc,
                 refine=max(options.refine_steps, 1),
+                rtol=options.kkt_residual_rtol,
                 interpret=None if mode == "auto" else
                 (jax.default_backend() != "tpu"))
             out = (Gains(*gains_t), dL, fail, singular)

@@ -42,7 +42,6 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
     the cap).
     """
     options = options or Options()
-    total = options.max_iterations
 
     init = initialize if not batched else jax.vmap(
         lambda b, x, u, th: initialize(problem, th, b, x, u, options),
@@ -110,7 +109,11 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
                                         np.asarray(state.cs_inf)))
             mu_now = np.asarray(state.mu)
             if stall is None:
-                stall = {"err": err, "mu": mu_now,
+                # err starts at +inf: initialize() zeroes the KKT-error
+                # fields, so baselining on the pre-first-chunk state would
+                # make the improvement clause unsatisfiable until the first
+                # mu decrease and wrongly freeze converging instances
+                stall = {"err": np.full_like(err, np.inf), "mu": mu_now,
                          "k": k_now.astype(float)}
             else:
                 improved = (err < stall["err"] / 1.2) | (mu_now

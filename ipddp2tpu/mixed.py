@@ -171,6 +171,10 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
         base = (np.asarray(options.max_iterations) if total2 is None
                 else total2)
         total2 = np.where(healthy, base, np.asarray(s64.k))
+        # keep the f32 failure status on denied instances (promote_state
+        # resets status to 0, which would report them "optimal")
+        s64 = s64._replace(status=jnp.where(
+            jnp.asarray(healthy), s64.status, s32.status))
     s64 = run_chunked(problem, b64, s64, th64, opts64, chunk=chunk,
                       batched=batched, total=total2)
     return Solution(

@@ -56,14 +56,14 @@ def _dot(a_list, b_list):
     return _sumr([dd.mul(a, b) for a, b in zip(a_list, b_list)])
 
 
-def _ldlt_solve_lanes_df(A0, rhs, *, m, refine):
+def _ldlt_solve_lanes_df(A0, rhs, *, m, refine, rtol):
     """df64 twin of backward_pallas._ldlt_solve_lanes.
 
     A0: DF [m, m, B]; rhs: DF [m, nk, B]. Implicit max-|diagonal| pivoting
     (pivot choice on hi words). Returns (X DF, n_pos, n_zero, finite [B],
-    solve_ok [B]); the residual gate runs in df64 against f32-eps rtol
-    (the factorization is ~df64-exact, so the gate only catches true
-    breakdowns, mirroring the f64 path's 1e-9 gate).
+    solve_ok [B]); the residual gate uses the caller's rtol
+    (options.kkt_residual_rtol — same semantics as the f64 scan path's
+    ldlt_solve_refined gate).
     """
     B = A0.hi.shape[-1]
     A = A0
@@ -180,10 +180,7 @@ def _ldlt_solve_lanes_df(A0, rhs, *, m, refine):
     nb = ssq(rhs.hi)
     x_finite = jnp.sum(jnp.sum(
         b2f(~jnp.isfinite(x.hi)), axis=0), axis=0) == 0.0
-    # df64 backward stability: rtol at the df64 eps scale (matches the f64
-    # path's residual_rtol semantics, ops/ldlt.py)
-    rtol = jnp.asarray(1e-9, F32)
-    solve_ok = (nr <= rtol * (na * nx_ + nb)) & x_finite
+    solve_ok = (nr <= jnp.asarray(rtol, F32) * (na * nx_ + nb)) & x_finite
     return x, n_pos, n_zero, finite, solve_ok
 
 
@@ -201,7 +198,7 @@ def _kernel(scal_ref, lTx_ref, lTxx_ref,
             chi_l_ref, zeta_l_ref, chi_u_ref, zeta_u_ref,
             dL_ref, flags_ref,
             Vx_s, Vxx_s,
-            *, nx, nu, nc, refine):
+            *, nx, nu, nc, refine, rtol):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -333,7 +330,7 @@ def _kernel(scal_ref, lTx_ref, lTxx_ref,
     rhs = dd.neg(rhs)
 
     X, n_pos, n_zero, finite, solve_ok = _ldlt_solve_lanes_df(
-        K, rhs, m=m, refine=refine)
+        K, rhs, m=m, refine=refine, rtol=rtol)
 
     alpha = DF(X.hi[:nu, 0, :], X.lo[:nu, 0, :])     # [nu, B]
     beta = DF(X.hi[:nu, 1:, :], X.lo[:nu, 1:, :])    # [nu, nx, B]
@@ -416,12 +413,12 @@ def _kernel(scal_ref, lTx_ref, lTxx_ref,
     flags_ref[0, :] = prev_fail | jnp.where(~stage_ok, i32_one, i32_zero)
 
 
-@partial(jax.jit, static_argnames=("nx", "nu", "nc", "refine", "tile_b",
-                                   "interpret"))
+@partial(jax.jit, static_argnames=("nx", "nu", "nc", "refine", "rtol",
+                                   "tile_b", "interpret"))
 def backward_sweep_pallas_df64(
         fx, fu, lx, lu, lxx, lux, luu, cx, cu, sec,
         c_rel, il, iu, phi, zl, zu, lTx, lTxx, mu, reg, delta_c,
-        *, nx, nu, nc, refine, tile_b=128, interpret=None):
+        *, nx, nu, nc, refine, rtol, tile_b=128, interpret=None):
     """f64-in, f64-out batched backward sweep via the df64 megakernel.
 
     Same signature/semantics as `backward_pallas.backward_sweep_pallas`
@@ -535,7 +532,7 @@ def backward_sweep_pallas_df64(
 
     nb = Bp // tile_b
     outs = pl.pallas_call(
-        partial(_kernel, nx=nx, nu=nu, nc=nc, refine=refine),
+        partial(_kernel, nx=nx, nu=nu, nc=nc, refine=refine, rtol=rtol),
         grid=(nb, T),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -62,7 +62,7 @@ def host_sharded_instances(gen: Callable[[int], tuple], n_global: int,
     and host memory scale 1/num_processes.
     """
     assert n_global % mesh.devices.size == 0, \
-        "global batch must divide the device count"
+        "the device count must divide the global batch size"
     sharding = NamedSharding(mesh, P(axis))
 
     # global indices owned by this process, in device order

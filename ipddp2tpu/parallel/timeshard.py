@@ -58,7 +58,7 @@ def value_scan_timesharded(problem: Problem, elements: ValueElement,
     """
     T, nx = problem.T, problem.nx
     D = mesh.shape[axis]
-    assert T % D == 0, "horizon must divide the time-mesh axis"
+    assert T % D == 0, "the time-mesh axis size must divide the horizon T"
     dtype = elements.A.dtype
 
     # reverse-time ordering with the terminal element prepended, as in the

@@ -152,12 +152,18 @@ class Solver:
         # decoupled — the backward pass never inverts fx, so zero rows/cols
         # are harmless) and every stage fn reads only its true slice.
         nxs = [d.num_state for d in dynamics]
-        next_nxs = [
-            jax.eval_shape(d.f, jax.ShapeDtypeStruct((d.num_state,),
-                                                     jnp.float64),
-                           jax.ShapeDtypeStruct((d.num_control,),
-                                                jnp.float64)).shape[0]
-            for d in dynamics]
+        shape_cache: dict = {}
+
+        def next_dim(d):
+            key = (d.f, d.num_state, d.num_control)
+            if key not in shape_cache:
+                shape_cache[key] = jax.eval_shape(
+                    d.f, jax.ShapeDtypeStruct((d.num_state,), jnp.float64),
+                    jax.ShapeDtypeStruct((d.num_control,),
+                                         jnp.float64)).shape[0]
+            return shape_cache[key]
+
+        next_nxs = [next_dim(d) for d in dynamics]
         for t in range(T - 1):
             assert next_nxs[t] == nxs[t + 1], (
                 f"dynamics[{t}] produces {next_nxs[t]} states but "

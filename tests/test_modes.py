@@ -117,3 +117,28 @@ def test_ls_failure_resets_preserves_golden():
     assert int(base.iterations) == int(rescued.iterations)
     np.testing.assert_allclose(float(base.objective),
                                float(rescued.objective), rtol=1e-12)
+
+
+def test_stall_window_spares_healthy_instances():
+    """solve_chunked(stall_window=...) must not freeze instances that are
+    converging (regression: baselining stall on the pre-first-chunk state —
+    where initialize() zeroes the KKT errors — made the improvement clause
+    unsatisfiable and froze everything at k=window)."""
+    import numpy as np
+
+    from ipddp2tpu.chunked import solve_chunked
+    from ipddp2tpu.models import concar
+
+    n = 4
+    keys = jax.random.split(jax.random.PRNGKey(11), n)
+    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+    bounds = concar.bounds(f_lims, tau_lims)
+    u0 = jnp.broadcast_to(concar.initial_controls(),
+                          (n, concar.T, concar.NU))
+    sol = solve_chunked(concar.problem(), bounds, x1s, u0, theta=thetas,
+                        options=Options(optimality_tolerance=1e-7,
+                                        max_iterations=400),
+                        chunk=25, batched=True, stall_window=60)
+    st = np.asarray(sol.status)
+    assert (st != 9).all(), st          # nothing frozen
+    assert np.asarray(sol.converged).all()
