@@ -74,7 +74,7 @@ def worker(batch: int, mode: str, tol: float):
         # rest of the batch (one observed rescue: 509 f64 iters = 271 s).
         # Throughput-optimal: bound the rescue, let hopeless instances fail.
         p1_max = int(os.environ.get("BENCH_P1MAX", "0")) or None
-        p2_max = int(os.environ.get("BENCH_P2MAX", "30"))
+        p2_max = int(os.environ.get("BENCH_P2MAX", "40"))
 
         rescue = bool(int(os.environ.get("BENCH_RESCUE", "0")))
         p2_spec = int(os.environ.get("BENCH_P2SPEC", "8"))

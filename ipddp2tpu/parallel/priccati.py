@@ -284,10 +284,19 @@ def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
                            options.kappa_w_plus * reg)
         return jnp.where(reg == 0.0, first, bumped)
 
+    # Clamp reg_max to the working dtype's finite max (the reference default
+    # 1e40 overflows to inf when cast to f32, which would make the guard
+    # vacuous) — computed in Python to avoid the overflow-on-cast warning.
+    reg_max = jnp.asarray(min(options.reg_max, float(jnp.finfo(dtype).max)),
+                          dtype)
+
     def cond(carry):
         reg, _, _, _, fail, _, n = carry
-        return fail & (reg <= options.reg_max) & (
-            n < options.max_backward_restarts)
+        # Stop once the reg the *next* attempt would use exceeds reg_max —
+        # the reference never factorizes above reg_max
+        # (reference: src/backward_pass.jl:55).
+        return (fail & (next_reg(reg) <= reg_max)
+                & (n < options.max_backward_restarts))
 
     def body(carry):
         reg, delta_c, gains, dL, fail, singular, n = carry
