@@ -146,7 +146,7 @@ def main():
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
     _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT", "2400")))
     ladder = os.environ.get(
-        "BENCH_LADDER", "1024:mixed,512:mixed,256:mixed,8:f64")
+        "BENCH_LADDER", "2048:mixed,1024:mixed,512:mixed,8:f64")
 
     best = None
     attempts = []
