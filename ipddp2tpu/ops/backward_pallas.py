@@ -393,17 +393,21 @@ def backward_sweep_pallas(
         const_spec(1),                   # dL (accumulated in-place)
         const_spec(2),                   # flags (fail, singular)
     )
+    # outputs vary over whatever mesh axes the inputs do (under shard_map
+    # the whole sweep is per-shard, so vma propagates unchanged); without
+    # this, shard_map's check_vma rejects the pallas_call out_shape
+    vma = getattr(jax.typeof(fx), "vma", frozenset())
     out_shape = (
-        jax.ShapeDtypeStruct((T, nu, Bp), dtype),
-        jax.ShapeDtypeStruct((T, nu, nx, Bp), dtype),
-        jax.ShapeDtypeStruct((T, max(nc, 1), Bp), dtype),
-        jax.ShapeDtypeStruct((T, max(nc, 1), nx, Bp), dtype),
-        jax.ShapeDtypeStruct((T, nu, Bp), dtype),
-        jax.ShapeDtypeStruct((T, nu, nx, Bp), dtype),
-        jax.ShapeDtypeStruct((T, nu, Bp), dtype),
-        jax.ShapeDtypeStruct((T, nu, nx, Bp), dtype),
-        jax.ShapeDtypeStruct((1, Bp), dtype),
-        jax.ShapeDtypeStruct((2, Bp), jnp.int32),
+        jax.ShapeDtypeStruct((T, nu, Bp), dtype, vma=vma),
+        jax.ShapeDtypeStruct((T, nu, nx, Bp), dtype, vma=vma),
+        jax.ShapeDtypeStruct((T, max(nc, 1), Bp), dtype, vma=vma),
+        jax.ShapeDtypeStruct((T, max(nc, 1), nx, Bp), dtype, vma=vma),
+        jax.ShapeDtypeStruct((T, nu, Bp), dtype, vma=vma),
+        jax.ShapeDtypeStruct((T, nu, nx, Bp), dtype, vma=vma),
+        jax.ShapeDtypeStruct((T, nu, Bp), dtype, vma=vma),
+        jax.ShapeDtypeStruct((T, nu, nx, Bp), dtype, vma=vma),
+        jax.ShapeDtypeStruct((1, Bp), dtype, vma=vma),
+        jax.ShapeDtypeStruct((2, Bp), jnp.int32, vma=vma),
     )
 
     nc1 = max(nc, 1)

@@ -508,12 +508,16 @@ def backward_sweep_pallas_df64(
         const_spec(2),                   # dL (df64 accumulator)
         const_spec(2),                   # flags (fail, singular) i32
     )
-    sds = lambda *dims: jax.ShapeDtypeStruct((T, 2) + dims + (Bp,), F32)
+    # propagate the inputs' varying-mesh-axes so shard_map's check_vma
+    # accepts the pallas_call out_shape (outputs are per-shard like inputs)
+    vma = getattr(jax.typeof(fx), "vma", frozenset())
+    sds = lambda *dims: jax.ShapeDtypeStruct((T, 2) + dims + (Bp,), F32,
+                                             vma=vma)
     out_shape = (
         sds(nu), sds(nu, nx), sds(nc1), sds(nc1, nx),
         sds(nu), sds(nu, nx), sds(nu), sds(nu, nx),
-        jax.ShapeDtypeStruct((2, Bp), F32),
-        jax.ShapeDtypeStruct((2, Bp), jnp.int32),
+        jax.ShapeDtypeStruct((2, Bp), F32, vma=vma),
+        jax.ShapeDtypeStruct((2, Bp), jnp.int32, vma=vma),
     )
 
     args = (

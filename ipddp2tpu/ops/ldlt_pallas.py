@@ -127,10 +127,13 @@ def ldlt_solve_batched_pallas(K, rhs, *, refine: int = 1,
     rt = jnp.transpose(rhs, (1, 2, 0))      # [m, nk, B]
 
     grid = (B // TILE_B,)
+    # propagate the inputs' varying-mesh-axes so shard_map's check_vma
+    # accepts the pallas_call out_shape (outputs are per-shard like inputs)
+    vma = getattr(jax.typeof(K), "vma", frozenset())
     out_shapes = (
-        jax.ShapeDtypeStruct((m, nk, B), K.dtype),
-        jax.ShapeDtypeStruct((1, B), jnp.int32),
-        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax.ShapeDtypeStruct((m, nk, B), K.dtype, vma=vma),
+        jax.ShapeDtypeStruct((1, B), jnp.int32, vma=vma),
+        jax.ShapeDtypeStruct((1, B), jnp.int32, vma=vma),
     )
     xt, npos, ok = pl.pallas_call(
         partial(_kernel, m=m, nk=nk, refine=refine),

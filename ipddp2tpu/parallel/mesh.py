@@ -84,6 +84,18 @@ def solve_sharded(problem: Problem, bounds: Bounds, x1: Array, u_init: Array,
     out_specs = (jax.tree.map(lambda _: spec, Solution(*[0] * len(Solution._fields))),
                  jax.tree.map(lambda _: P(), BatchStats(*[0] * len(BatchStats._fields))))
 
+    # check_vma stays on (the collectives above are exactly what it
+    # verifies) with one exception: a Pallas megakernel forced off-TPU runs
+    # in interpret mode, whose block indexing lowers to dynamic_slice with
+    # replicated grid indices on varying operands — JAX's vma typing rejects
+    # that even though it is semantically per-shard. The real-TPU Mosaic
+    # path does not lower through those primitives and type-checks fine
+    # (the kernels propagate input vma into their out_shapes).
+    interp_pallas = (options.backward_kernel in ("pallas", "pallas_df64",
+                                                 "ldlt")
+                     or options.use_pallas_kkt) and (
+                         jax.default_backend() != "tpu")
     fn = jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                               out_specs=out_specs))
+                               out_specs=out_specs,
+                               check_vma=not interp_pallas))
     return fn(bounds, x1, u_init, theta)

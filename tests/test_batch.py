@@ -48,6 +48,29 @@ def test_batch_matches_single():
     assert int(batched.iterations[1]) == int(one.iterations)
 
 
+def test_shard_map_pallas_megakernel():
+    """The Pallas backward megakernel must dispatch *inside* shard_map (the
+    TPU bench path: sharded batch + fused backward). Regression: the
+    pallas_call out_shapes carried no vma, so shard_map's check_vma rejected
+    the solve on TPU backends. Parity vs the unsharded scan path at k=5
+    (full-convergence iteration counts can drift across layouts)."""
+    n = 2 * len(jax.devices())
+    thetas, bounds, x1s, u0 = _concar_batch(n, key=11)
+    opts5 = Options(optimality_tolerance=1e-12, max_iterations=5,
+                    backward_kernel="pallas")
+    sol, stats = solve_sharded(concar.problem(), bounds, x1s, u0,
+                               theta=thetas, options=opts5,
+                               mesh=make_mesh())
+    ref = solve_batch(concar.problem(), bounds, x1s, u0, theta=thetas,
+                      options=Options(optimality_tolerance=1e-12,
+                                      max_iterations=5))
+    np.testing.assert_allclose(np.asarray(sol.u), np.asarray(ref.u),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol.objective),
+                               np.asarray(ref.objective), rtol=1e-9)
+    assert int(stats.num_instances) == n
+
+
 def test_shard_map_mesh():
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
