@@ -81,6 +81,21 @@ def worker(batch: int, mode: str, tol: float):
         # freeze f32-stalled instances (no mu / KKT progress) instead of
         # letting them stretch the lockstep batch to the iteration cap
         stall = int(os.environ.get("BENCH_STALL", "0")) or None
+        # endgame batch compaction: the f64 phase is compute-bound, so
+        # converged lockstep lanes pay full price; gather the still-running
+        # tail into smaller batches at phase-2 chunk boundaries.
+        # BENCH_P2COMPACT: "0" off, "1" = {B/2, B/4, B/8, B/16} rungs,
+        # or an explicit comma list like "512,128".
+        p2c_env = os.environ.get("BENCH_P2COMPACT", "1")
+        if p2c_env == "0":
+            p2_compact = False
+        elif p2c_env == "1":
+            p2_compact = tuple(s for s in (batch // 2, batch // 4,
+                                           batch // 8, batch // 16)
+                               if s >= 64) or False
+        else:
+            p2_compact = tuple(int(s) for s in p2c_env.split(","))
+        p2_chunk = int(os.environ.get("BENCH_P2CHUNK", "8"))
 
         def run(b, x, u, th):
             return solve_mixed_chunked(problem, b, x, u, theta=th,
@@ -90,6 +105,8 @@ def worker(batch: int, mode: str, tol: float):
                                        phase2_ls_speculative=p2_spec or None,
                                        phase1_stall_window=stall,
                                        rescue_failed=rescue,
+                                       phase2_chunk=p2_chunk,
+                                       phase2_compact=p2_compact,
                                        batched=True)
     else:
         def run(b, x, u, th):
@@ -115,6 +132,8 @@ def worker(batch: int, mode: str, tol: float):
         "detail": {
             "batch": batch, "mode": mode, "solved": solved,
             "wall_s": round(wall, 3), "tol": tol,
+            "p2_compact": (list(p2_compact) if mode == "mixed"
+                           and p2_compact else None),
             "median_iterations": float(stats.median_iterations),
             "max_iterations": int(stats.max_iterations),
             "device": str(jax.devices()[0]),

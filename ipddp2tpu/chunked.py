@@ -26,7 +26,8 @@ from .solve import Solution, initialize, run
 def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
                   options: Optional[Options] = None, chunk: int = 25,
                   batched: bool = False, return_state: bool = False,
-                  stall_window: Optional[int] = None):
+                  stall_window: Optional[int] = None,
+                  compact_sizes=None):
     """Solve (a batch of) instances with host-resumed iteration chunks.
 
     With `batched`, all array arguments carry a leading instance axis and the
@@ -54,7 +55,8 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
 
     state = run_chunked(problem, bounds, state, theta, options,
                         chunk=chunk, batched=batched,
-                        stall_window=stall_window if batched else None)
+                        stall_window=stall_window if batched else None,
+                        compact_sizes=compact_sizes if batched else None)
 
     sol = Solution(
         x=state.x, u=state.u, phi=state.phi, zl=state.zl, zu=state.zu,
@@ -65,10 +67,21 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
     return (sol, state) if return_state else sol
 
 
+@jax.jit
+def _gather_tree(tree, idx):
+    return jax.tree.map(lambda a: a[idx], tree)
+
+
+@jax.jit
+def _scatter_tree(tree, idx, sub):
+    return jax.tree.map(lambda a, c: a.at[idx].set(c), tree, sub)
+
+
 def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
                 options: Optional[Options] = None, chunk: int = 25,
                 batched: bool = False, total=None,
-                stall_window: Optional[int] = None):
+                stall_window: Optional[int] = None,
+                compact_sizes=None):
     """Continue `run` from an existing state in host-resumed chunks
     (the warm-start entry point for chunked execution).
 
@@ -79,11 +92,28 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
 
     `total` overrides options.max_iterations as the iteration ceiling; it
     may be a per-instance array (e.g. `state.k + phase2_budget` to bound a
-    warm-started endgame per instance)."""
+    warm-started endgame per instance).
+
+    `compact_sizes` (descending tuple, batched only) enables batch
+    compaction at chunk boundaries: when the still-running instances fit a
+    smaller size from the schedule, they are gathered (device-side) into a
+    compact batch that continues chunking, and scattered back on return.
+    Under lockstep vmap a converged lane still executes every masked
+    iteration; that is free when an iteration is latency-bound (the f32
+    phase) but pays full price when it is compute-bound — the f64 endgame,
+    where the median instance needs ~6 iterations and the cap is ~40. Not
+    compatible with `stall_window` (phase-1 machinery; compaction is a
+    phase-2 tool). NB each compact size compiles its own program — sizes
+    should be few (powers of two) and warmed in the compile cache."""
     options = options or Options()
     if total is None:
         total = options.max_iterations
     total = np.asarray(total)
+    if compact_sizes:
+        assert batched and stall_window is None, (
+            "compact_sizes requires batched=True and no stall_window")
+        compact_sizes = tuple(sorted(set(int(s) for s in compact_sizes),
+                                     reverse=True))
 
     @jax.jit
     def run_chunk(state, bounds, theta, k_limits):
@@ -128,6 +158,28 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
                     running = running & ~stalled
         if not np.any(running):
             break
+        if compact_sizes:
+            B = running.shape[0]
+            r = int(running.sum())
+            fit = [s for s in compact_sizes if r <= s < B]
+            if fit:
+                target = min(fit)
+                idx = np.concatenate(
+                    [np.where(running)[0],
+                     np.where(~running)[0][:target - r]])
+                jidx = jnp.asarray(idx)
+                sub_state = _gather_tree(state, jidx)
+                sub_bounds = _gather_tree(bounds, jidx)
+                sub_theta = (None if theta is None
+                             else _gather_tree(theta, jidx))
+                sub_total = np.broadcast_to(total, (B,))[idx]
+                # pad lanes are non-running (converged/failed/spent); the
+                # recursion's own running mask keeps them frozen
+                sub_state = run_chunked(problem, sub_bounds, sub_state,
+                                        sub_theta, options, chunk=chunk,
+                                        batched=True, total=sub_total,
+                                        compact_sizes=compact_sizes)
+                return _scatter_tree(state, jidx, sub_state)
         # clear transient hit-the-chunk-cap stops on the running instances
         state = state._replace(status=jnp.where(
             jnp.asarray(running & (status == 8)), jnp.int32(0),

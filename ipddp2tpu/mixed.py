@@ -107,6 +107,8 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                         phase2_ls_speculative: Optional[int] = None,
                         phase1_stall_window: Optional[int] = None,
                         rescue_failed: bool = True,
+                        phase2_chunk: Optional[int] = None,
+                        phase2_compact=False,
                         batched: bool = False):
     """Chunked two-phase solve: f32 bulk phase, f64 endgame, each as
     host-resumed short device programs (for runtimes that kill long
@@ -116,7 +118,15 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
     endgames take ~6-25 f64 iterations, but an instance whose f32 phase
     FAILED (not merely hit tolerance) triggers a near-full-length f64
     rescue (hundreds of iterations) that can cost more wall than the rest
-    of the batch combined; the cap bounds that."""
+    of the batch combined; the cap bounds that.
+
+    `phase2_compact` (batched only): the f64 endgame is compute-bound on
+    TPU (software-emulated f64), so lockstep lanes that already converged
+    still pay full price; compaction gathers the still-running instances
+    into a smaller batch at phase-2 chunk boundaries (`phase2_chunk`,
+    default `chunk` — set it well below the phase-2 iteration cap or there
+    are no boundaries to compact at). True = powers of two from half the
+    batch down to 64; or pass an explicit descending size tuple."""
     from .chunked import run_chunked, solve_chunked
 
     options = options or Options()
@@ -175,8 +185,22 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
         # resets status to 0, which would report them "optimal")
         s64 = s64._replace(status=jnp.where(
             jnp.asarray(healthy), s64.status, s32.status))
-    s64 = run_chunked(problem, b64, s64, th64, opts64, chunk=chunk,
-                      batched=batched, total=total2)
+    compact = None
+    if phase2_compact and batched:
+        B = int(np.shape(s64.k)[0])
+        if phase2_compact is True:
+            sizes, s = [], 1
+            while s < B:
+                if s >= 64:
+                    sizes.append(s)
+                s *= 2
+            compact = tuple(reversed(sizes)) or None
+        else:
+            compact = tuple(phase2_compact)
+    s64 = run_chunked(problem, b64, s64, th64, opts64,
+                      chunk=phase2_chunk or chunk,
+                      batched=batched, total=total2,
+                      compact_sizes=compact)
     return Solution(
         x=s64.x, u=s64.u, phi=s64.phi, zl=s64.zl, zu=s64.zu, lam=s64.lam,
         objective=s64.objective, iterations=s64.k, status=s64.status,

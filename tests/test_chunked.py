@@ -62,3 +62,37 @@ def test_run_chunked_heterogeneous_progress():
     assert not conv[0] and int(out.status[0]) == 8
     np.testing.assert_allclose(float(out.objective[1]), di.GOLDEN_OBJECTIVE,
                                rtol=1e-6)
+
+
+def test_chunked_compaction_matches_lockstep():
+    """Batch compaction (gather still-running instances into a smaller
+    batch at chunk boundaries) must preserve every instance's result vs the
+    full-width lockstep run. Instances converge at spread-out iteration
+    counts (65-199 on this seed), so with chunk 25 the (4, 2) schedule
+    provably fires. Finished instances must come back bitwise-identical
+    (they are only gathered/scattered, never re-run); still-running ones
+    re-vmap at a new width, so tolerance-converged objectives may drift at
+    reassociation scale."""
+    opts = Options(optimality_tolerance=1e-6, max_iterations=600)
+    n = 8
+    keys = jax.random.split(jax.random.PRNGKey(2), n)
+    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+    bounds = concar.bounds(f_lims, tau_lims)
+    u0 = jnp.broadcast_to(concar.initial_controls(),
+                          (n, concar.T, concar.NU))
+    full = solve_chunked(concar.problem(), bounds, x1s, u0, theta=thetas,
+                         options=opts, chunk=25, batched=True)
+    comp = solve_chunked(concar.problem(), bounds, x1s, u0, theta=thetas,
+                         options=opts, chunk=25, batched=True,
+                         compact_sizes=(4, 2))
+    assert np.asarray(comp.converged).all(), np.asarray(comp.status)
+    np.testing.assert_allclose(np.asarray(comp.objective),
+                               np.asarray(full.objective), rtol=2e-4)
+    # instances that finish before the first compaction (k <= 75) are
+    # never re-executed and must match bitwise
+    early = np.asarray(full.iterations) <= 75
+    assert early.any()
+    np.testing.assert_array_equal(np.asarray(comp.objective)[early],
+                                  np.asarray(full.objective)[early])
+    np.testing.assert_array_equal(np.asarray(comp.iterations)[early],
+                                  np.asarray(full.iterations)[early])

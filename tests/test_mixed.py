@@ -30,3 +30,36 @@ def test_mixed_concar():
     assert float(sol.dual_inf) < 1e-7
     # total = f32 phase (~95) + short f64 endgame (~6)
     assert int(sol.iterations) < 130, int(sol.iterations)
+
+
+def test_mixed_chunked_phase2_compaction():
+    """Endgame compaction (the TPU bench's f64-phase batch shrinking) must
+    certify the same instances to the same optima as the lockstep endgame."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipddp2tpu.mixed import solve_mixed_chunked
+
+    opts = Options(optimality_tolerance=1e-7, max_iterations=600)
+    n = 8
+    keys = jax.random.split(jax.random.PRNGKey(4), n)
+    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+    bounds = concar.bounds(f_lims, tau_lims)
+    u0 = jnp.broadcast_to(concar.initial_controls(),
+                          (n, concar.T, concar.NU))
+    base = solve_mixed_chunked(concar.problem(), bounds, x1s, u0,
+                               theta=thetas, options=opts, chunk=40,
+                               phase2_max_iterations=40, batched=True)
+    comp = solve_mixed_chunked(concar.problem(), bounds, x1s, u0,
+                               theta=thetas, options=opts, chunk=40,
+                               phase2_max_iterations=40, phase2_chunk=5,
+                               phase2_compact=(4, 2), batched=True)
+    # seed-4 instance 5 burns the whole 600-iteration budget in phase 1
+    # (f32-stalled) in BOTH configurations — compaction must agree with
+    # lockstep on which instances certify, and on their optima
+    conv = np.asarray(base.converged)
+    np.testing.assert_array_equal(np.asarray(comp.converged), conv)
+    assert conv.sum() >= 6, np.asarray(base.status)
+    np.testing.assert_allclose(np.asarray(comp.objective)[conv],
+                               np.asarray(base.objective)[conv], rtol=2e-4)
+    assert float(np.max(np.asarray(comp.dual_inf)[conv])) < 1e-7
