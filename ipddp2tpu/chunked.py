@@ -12,6 +12,7 @@ long program.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -67,6 +68,28 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
     return (sol, state) if return_state else sol
 
 
+@lru_cache(maxsize=64)
+def _chunk_runner(problem: Problem, options: Options, batched: bool,
+                  has_theta: bool):
+    """Memoized jitted chunk executor. A fresh `jax.jit` closure per
+    `run_chunked` call would re-trace the full solver on every call (and
+    every compaction rung) — tracing a b1024 program costs seconds that
+    land inside the timed wall even when the XLA executable is cached."""
+
+    @jax.jit
+    def run_chunk(state, bounds, theta, k_limits):
+        if batched:
+            fn = jax.vmap(
+                lambda s, b, th, kl: run(problem, b, s, th, options,
+                                         k_limit=kl),
+                in_axes=(0, Bounds(0, 0), 0 if has_theta else None, 0))
+            return fn(state, bounds, theta, k_limits)
+        return run(problem, bounds, state, theta, options,
+                   k_limit=k_limits)
+
+    return run_chunk
+
+
 @jax.jit
 def _gather_tree(tree, idx):
     return jax.tree.map(lambda a: a[idx], tree)
@@ -115,16 +138,7 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
         compact_sizes = tuple(sorted(set(int(s) for s in compact_sizes),
                                      reverse=True))
 
-    @jax.jit
-    def run_chunk(state, bounds, theta, k_limits):
-        if batched:
-            fn = jax.vmap(
-                lambda s, b, th, kl: run(problem, b, s, th, options,
-                                         k_limit=kl),
-                in_axes=(0, Bounds(0, 0), None if theta is None else 0, 0))
-            return fn(state, bounds, theta, k_limits)
-        return run(problem, bounds, state, theta, options,
-                   k_limit=k_limits)
+    run_chunk = _chunk_runner(problem, options, batched, theta is not None)
 
     stall = None
     while True:
