@@ -9,10 +9,20 @@ single-threaded (BASELINE.md) => 8.24 OCPs/s.
 The measurement runs a ladder of configurations (large batch first, mixed
 f32->f64 continuation preferred, pure f64 fallback), each attempt isolated in
 a subprocess with a timeout so a TPU-worker crash or compile hang only costs
-that attempt. The best successful configuration is reported.
+that attempt. The first working rung is the headline configuration; it is
+re-run for BENCH_REPS total measurements on fresh instance sets (relay noise
+on this deployment is +-10% with occasional 3-4x outliers; the builder's own
+round-2 notes say f64-phase noise reaches +-50%) and the MEDIAN rep is
+reported. A second success-parity rung (mode suffix "r": f32-stalled
+instances are re-solved from scratch in f64 as a compacted batch instead of
+abandoned, ipddp2tpu/mixed.py rescue_failed="restart") is interleaved with
+the headline reps and reported in detail.frontier — the reference solves
+concar 100/100, so "matching-or-beating" must also hold at reference success
+rates, not only on a solved-per-second metric that discounts abandonment.
 
 Env knobs: BENCH_TOL (1e-7), BENCH_ATTEMPT_TIMEOUT seconds (1800),
-BENCH_LADDER like "256:mixed,64:mixed,8:mixed,8:f64".
+BENCH_REPS (2), BENCH_LADDER like "2048:mixed,512:mixed,8:f64",
+BENCH_SUCCESS ("2048:mixedr"; "" disables the success rung).
 """
 
 import json
@@ -25,7 +35,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REFERENCE_MEDIAN_WALL_S = 0.1214  # BASELINE.md concar IPDDP2 median
 
 
-def worker(batch: int, mode: str, tol: float):
+def worker(batch: int, mode: str, tol: float, seed: int = 0):
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -67,6 +77,11 @@ def worker(batch: int, mode: str, tol: float):
     from ipddp2tpu.chunked import solve_chunked
     from ipddp2tpu.mixed import solve_mixed_chunked
 
+    rescue_mode = False
+    if mode.endswith("r"):              # success-parity rung
+        mode = mode[:-1]
+        rescue_mode = "restart"
+
     if mode == "mixed":
         # Phase budgets (measured, docs/PERF.md): normal endgames take 6-25
         # f64 iterations; an f32-FAILED instance otherwise triggers a
@@ -76,7 +91,8 @@ def worker(batch: int, mode: str, tol: float):
         p1_max = int(os.environ.get("BENCH_P1MAX", "0")) or None
         p2_max = int(os.environ.get("BENCH_P2MAX", "40"))
 
-        rescue = bool(int(os.environ.get("BENCH_RESCUE", "0")))
+        rescue = (rescue_mode
+                  or bool(int(os.environ.get("BENCH_RESCUE", "0"))))
         p2_spec = int(os.environ.get("BENCH_P2SPEC", "8"))
         # freeze f32-stalled instances (no mu / KKT progress) instead of
         # letting them stretch the lockstep batch to the iteration cap
@@ -119,7 +135,7 @@ def worker(batch: int, mode: str, tol: float):
     sol = run(*warm)
     np.asarray(sol.converged)
 
-    args = make(0)
+    args = make(1000 + seed)
     t0 = time.time()
     sol = run(*args)
     np.asarray(sol.converged)
@@ -131,6 +147,7 @@ def worker(batch: int, mode: str, tol: float):
         "value": solved / wall,
         "detail": {
             "batch": batch, "mode": mode, "solved": solved,
+            "seed": seed, "rescue": rescue_mode or None,
             "wall_s": round(wall, 3), "tol": tol,
             "p2_compact": (list(p2_compact) if mode == "mixed"
                            and p2_compact else None),
@@ -160,47 +177,86 @@ def _wait_for_device(budget_s: float):
     return False
 
 
+def _attempt(batch_s: str, mode: str, tol: float, seed: int,
+             timeout: float, attempts: list):
+    """One isolated worker run; returns the parsed result or None."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             batch_s, mode, str(tol), str(seed)],
+            capture_output=True, text=True, timeout=timeout, cwd=HERE)
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")]
+        if out.returncode == 0 and line:
+            res = json.loads(line[-1])
+            attempts.append(res["detail"])
+            return res
+        attempts.append({"batch": int(batch_s), "mode": mode, "seed": seed,
+                         "error": (out.stderr or "")[-200:]})
+    except subprocess.TimeoutExpired:
+        attempts.append({"batch": int(batch_s), "mode": mode, "seed": seed,
+                         "error": f"timeout {timeout}s"})
+    return None
+
+
+def _median_rep(reps):
+    """The rep with the median value (keeps value/detail paired)."""
+    byv = sorted(reps, key=lambda r: r["value"])
+    return byv[len(byv) // 2] if len(byv) % 2 else byv[len(byv) // 2 - 1]
+
+
 def main():
     tol = float(os.environ.get("BENCH_TOL", "1e-7"))
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
+    n_reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT", "2400")))
     ladder = os.environ.get(
         "BENCH_LADDER", "2048:mixed,1024:mixed,512:mixed,8:f64")
+    success_rung = os.environ.get("BENCH_SUCCESS", "2048:mixedr")
 
-    best = None
     attempts = []
+    # find the working headline rung (rep 0 doubles as its first sample)
+    head = None
     for item in ladder.split(","):
         batch_s, mode = item.split(":")
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker",
-                 batch_s, mode, str(tol)],
-                capture_output=True, text=True, timeout=timeout, cwd=HERE)
-            line = [l for l in out.stdout.strip().splitlines()
-                    if l.startswith("{")]
-            if out.returncode == 0 and line:
-                res = json.loads(line[-1])
-                attempts.append(res["detail"])
-                if best is None or res["value"] > best["value"]:
-                    best = res
-                # a working large-batch result is the headline; stop early
-                if res["value"] > 0 and int(batch_s) >= 16:
-                    break
-            else:
-                attempts.append({"batch": int(batch_s), "mode": mode,
-                                 "error": (out.stderr or "")[-200:]})
-        except subprocess.TimeoutExpired:
-            attempts.append({"batch": int(batch_s), "mode": mode,
-                             "error": f"timeout {timeout}s"})
+        res = _attempt(batch_s, mode, tol, 0, timeout, attempts)
+        if res is not None and res["value"] > 0:
+            head = (batch_s, mode)
+            head_reps = [res]
+            break
+    succ_reps = []
+    if head is not None and int(head[0]) >= 16:
+        # interleave the remaining headline reps with the success rung
+        # (H0 S0 H1 S1 ... — noise averages across both configs)
+        for rep in range(1, n_reps + 1):
+            if success_rung:
+                sb, sm = success_rung.split(":")
+                r = _attempt(sb, sm, tol, rep - 1, timeout, attempts)
+                if r is not None:
+                    succ_reps.append(r)
+            if rep < n_reps:
+                r = _attempt(head[0], head[1], tol, rep, timeout, attempts)
+                if r is not None:
+                    head_reps.append(r)
 
     baseline = 1.0 / REFERENCE_MEDIAN_WALL_S
+    best = _median_rep(head_reps) if head else None
     value = best["value"] if best else 0.0
+    succ = _median_rep(succ_reps) if succ_reps else None
+    frontier = {
+        "throughput_max": best["detail"] if best else None,
+        "success_max": succ["detail"] if succ else None,
+        "success_max_ocps_per_s": (round(succ["value"], 3) if succ
+                                   else None),
+    }
     print(json.dumps({
         "metric": "concar OCPs solved to KKT tol per second per chip",
         "value": round(value, 3),
         "unit": "ocps_per_s_per_chip",
         "vs_baseline": round(value / baseline, 3),
         "detail": {"best": best["detail"] if best else None,
+                   "reps": [round(r["value"], 3) for r in head_reps],
+                   "frontier": frontier,
                    "attempts": attempts,
                    "baseline_ocps_per_s": round(baseline, 3)},
     }))
@@ -208,6 +264,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]))
+        worker(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]),
+               int(sys.argv[5]) if len(sys.argv) > 5 else 0)
     else:
         main()

@@ -68,13 +68,19 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
     return (sol, state) if return_state else sol
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=16)
 def _chunk_runner(problem: Problem, options: Options, batched: bool,
                   has_theta: bool):
     """Memoized jitted chunk executor. A fresh `jax.jit` closure per
     `run_chunked` call would re-trace the full solver on every call (and
     every compaction rung) — tracing a b1024 program costs seconds that
-    land inside the timed wall even when the XLA executable is cached."""
+    land inside the timed wall even when the XLA executable is cached.
+
+    NB the cache keys on object identity of `problem`'s function members
+    (NamedTuples hash their fields; functions hash by id): callers must
+    reuse the same `Problem`/`Options` objects across calls for the
+    memoization to hit. Fresh closures per call never hit yet still fill
+    the cache, pinning dead compiled programs — hence the small maxsize."""
 
     @jax.jit
     def run_chunk(state, bounds, theta, k_limits):

@@ -106,7 +106,8 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                         phase2_max_iterations: Optional[int] = None,
                         phase2_ls_speculative: Optional[int] = None,
                         phase1_stall_window: Optional[int] = None,
-                        rescue_failed: bool = True,
+                        rescue_failed=True,
+                        rescue_ls_speculative: Optional[int] = None,
                         phase2_chunk: Optional[int] = None,
                         phase2_compact=False,
                         batched: bool = False):
@@ -126,7 +127,25 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
     into a smaller batch at phase-2 chunk boundaries (`phase2_chunk`,
     default `chunk` — set it well below the phase-2 iteration cap or there
     are no boundaries to compact at). True = powers of two from half the
-    batch down to 64; or pass an explicit descending size tuple."""
+    batch down to 64; or pass an explicit descending size tuple.
+
+    `rescue_failed`: what to do with instances whose f32 phase FAILED
+    (stalled/capped without reaching phase-1 tolerance):
+      * True — promote them anyway; the f64 endgame re-solves them in
+        lockstep with the healthy batch. Correct but ruinous: one rescue
+        runs hundreds of early-stage f64 iterations whose heavy line-search
+        trip counts are max-over-batch (docs/PERF.md straggler economics).
+      * False — deny them the endgame and report them failed (the
+        throughput-max config).
+      * "restart" — deny them the lockstep endgame, then RE-SOLVE just the
+        failures from scratch in pure f64 as a separate compacted batch
+        (padded to the smallest compaction rung) after the healthy endgame
+        returns. A from-scratch f64 solve takes the reference's ~150 median
+        iterations vs 400-515 for continuing the poisoned f32 state, and
+        the compact batch never drags the healthy instances — success
+        approaches the pure-f64 campaign's at a bounded wall cost. The
+        rescue line search is sequential-backtracking by default
+        (reference semantics; `rescue_ls_speculative` overrides)."""
     from .chunked import run_chunked, solve_chunked
 
     options = options or Options()
@@ -170,7 +189,7 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
     if phase2_max_iterations is not None:
         total2 = np.minimum(np.asarray(options.max_iterations),
                             np.asarray(s64.k) + phase2_max_iterations)
-    if not rescue_failed:
+    if rescue_failed is not True:
         # Deny the f64 endgame to instances whose f32 phase FAILED (did not
         # reach phase-1 tolerance): a rescue is a near-full-length f64
         # re-solve, and under lockstep vmap ONE early-stage instance drags
@@ -201,6 +220,39 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                       chunk=phase2_chunk or chunk,
                       batched=batched, total=total2,
                       compact_sizes=compact)
+
+    if rescue_failed == "restart" and batched:
+        failed = np.where(~np.asarray(s64.converged))[0]
+        if failed.size:
+            from .chunked import _gather_tree, _scatter_tree
+            rungs = compact or (64,)
+            target = next((s for s in reversed(rungs) if failed.size <= s),
+                          int(np.shape(s64.k)[0]))
+            # pad lanes duplicate failed instances (identical work profile
+            # under lockstep; only the real lanes are scattered back)
+            idx = np.concatenate([failed, failed[
+                np.arange(target - failed.size) % failed.size]])
+            jidx = jnp.asarray(idx)
+            opts_r = options
+            if rescue_ls_speculative is not None:
+                opts_r = options.__class__(**{
+                    **options.__dict__,
+                    "ls_speculative": rescue_ls_speculative})
+            sub_b = _gather_tree(b64, jidx)
+            sub_th = None if theta is None else _gather_tree(th64, jidx)
+            _, s_r = solve_chunked(
+                problem, sub_b,
+                _gather_tree(jax.tree.map(cast64, jnp.asarray(x1)), jidx),
+                _gather_tree(jax.tree.map(cast64, jnp.asarray(u_init)),
+                             jidx),
+                theta=sub_th, options=opts_r,
+                chunk=phase2_chunk or chunk, batched=True,
+                return_state=True,
+                compact_sizes=tuple(s for s in rungs if s < target) or None)
+            keep = jnp.asarray(idx[:failed.size])
+            s64 = _scatter_tree(s64, keep,
+                                _gather_tree(s_r, jnp.arange(failed.size)))
+
     return Solution(
         x=s64.x, u=s64.u, phi=s64.phi, zl=s64.zl, zu=s64.zu, lam=s64.lam,
         objective=s64.objective, iterations=s64.k, status=s64.status,

@@ -63,3 +63,41 @@ def test_mixed_chunked_phase2_compaction():
     np.testing.assert_allclose(np.asarray(comp.objective)[conv],
                                np.asarray(base.objective)[conv], rtol=2e-4)
     assert float(np.max(np.asarray(comp.dual_inf)[conv])) < 1e-7
+
+
+def test_mixed_chunked_restart_rescue():
+    """rescue_failed="restart" must recover f32-stalled instances by
+    re-solving them from scratch in pure f64 as a compacted batch — the
+    success-parity mechanism of the TPU bench's high-success rung."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipddp2tpu.mixed import solve_mixed_chunked
+
+    opts = Options(optimality_tolerance=1e-7, max_iterations=600)
+    n = 8
+    keys = jax.random.split(jax.random.PRNGKey(4), n)
+    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+    bounds = concar.bounds(f_lims, tau_lims)
+    u0 = jnp.broadcast_to(concar.initial_controls(),
+                          (n, concar.T, concar.NU))
+    # abandoning config: seed-4 instance 5 stalls in f32 and is denied the
+    # endgame
+    deny = solve_mixed_chunked(concar.problem(), bounds, x1s, u0,
+                               theta=thetas, options=opts, chunk=40,
+                               phase2_max_iterations=40,
+                               rescue_failed=False, batched=True)
+    conv_deny = np.asarray(deny.converged)
+    assert not conv_deny.all(), "expected at least one f32-stalled instance"
+    resc = solve_mixed_chunked(concar.problem(), bounds, x1s, u0,
+                               theta=thetas, options=opts, chunk=40,
+                               phase2_max_iterations=40,
+                               rescue_failed="restart",
+                               phase2_compact=(4, 2), batched=True)
+    conv = np.asarray(resc.converged)
+    # every instance certifies, healthy ones to the same optima as before
+    assert conv.all(), np.asarray(resc.status)
+    np.testing.assert_allclose(np.asarray(resc.objective)[conv_deny],
+                               np.asarray(deny.objective)[conv_deny],
+                               rtol=1e-9)
+    assert float(np.max(np.asarray(resc.dual_inf))) < 1e-7
