@@ -44,6 +44,10 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
     the cap).
     """
     options = options or Options()
+    if batched:
+        from .autotune import tune
+        options = tune(options, int(jnp.shape(x1)[0]),
+                       jnp.asarray(u_init).dtype)
 
     init = initialize if not batched else jax.vmap(
         lambda b, x, u, th: initialize(problem, th, b, x, u, options),

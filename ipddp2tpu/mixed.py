@@ -177,6 +177,9 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
         opts64 = options.__class__(**{
             **options.__dict__,
             "ls_speculative": phase2_ls_speculative})
+    elif batched:
+        from .autotune import tune
+        opts64 = tune(options, int(jnp.shape(s32.k)[0]), jnp.float64)
     if batched:
         s64 = jax.vmap(
             lambda st, bb, tt: promote_state(problem, bb, st, tt, opts64),
@@ -233,11 +236,14 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
             idx = np.concatenate([failed, failed[
                 np.arange(target - failed.size) % failed.size]])
             jidx = jnp.asarray(idx)
-            opts_r = options
-            if rescue_ls_speculative is not None:
-                opts_r = options.__class__(**{
-                    **options.__dict__,
-                    "ls_speculative": rescue_ls_speculative})
+            # sequential backtracking by default (reference semantics —
+            # the rescue exists for SUCCESS; auto_tune off so the measured
+            # throughput table cannot flip it to speculative)
+            opts_r = options.__class__(**{
+                **options.__dict__, "auto_tune": False,
+                "ls_speculative": (rescue_ls_speculative
+                                   if rescue_ls_speculative is not None
+                                   else options.ls_speculative)})
             sub_b = _gather_tree(b64, jidx)
             sub_th = None if theta is None else _gather_tree(th64, jidx)
             _, s_r = solve_chunked(

@@ -122,3 +122,9 @@ class Options:
                                         # K > 0 = evaluate gammas 2^-0..2^-(K-1)
                                         # in one batched rollout and pick the
                                         # largest acceptable (TPU fast path)
+    auto_tune: bool = True              # batched TPU entry points auto-select
+                                        # backward_mode / ls_speculative from
+                                        # the measured crossover table
+                                        # (autotune.TUNE_TABLE) for knobs the
+                                        # caller left at their defaults; CPU
+                                        # and explicit settings are untouched

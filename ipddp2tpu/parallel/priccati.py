@@ -152,13 +152,18 @@ from ..backward import costate_scan  # noqa: E402  (canonical home moved)
 
 def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
                            nominal, mu, reg_last, options: Options, *,
-                           lam=None, second=None):
+                           lam=None, second=None, value_scan=None):
     """Drop-in time-parallel replacement for `backward.backward_pass`.
 
     O(log T) depth: associative costate scan -> stage elements (vmapped local
     solves) -> associative value scan -> vmapped per-stage KKT factor+solve
     for the gains, with the same inertia-correction ladder semantics as the
-    sequential pass (now a batched post-check over all stages at once)."""
+    sequential pass (now a batched post-check over all stages at once).
+
+    `value_scan` swaps the suffix-value evaluator (same contract as
+    `parallel_value_scan`, the default): `timeshard.value_scan_timesharded`
+    plugs in here for the time-sharded mesh mode (backward_mode
+    "timeshard")."""
     from ..backward import BackwardResult, Gains
     from ..ops.ldlt import ldlt_factor_pivoted, ldlt_solve_refined
 
@@ -243,11 +248,12 @@ def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
 
         return jax.vmap(one)(K, rhs)
 
+    vscan = value_scan or parallel_value_scan
+
     def attempt(reg, delta_c):
         elems = _stage_blocks(problem, deriv, nominal, mu, second,
                               reg, delta_c, options)
-        Vx_next, Vxx_next = parallel_value_scan(
-            problem, elems, deriv.lTx, deriv.lTxx)
+        Vx_next, Vxx_next = vscan(problem, elems, deriv.lTx, deriv.lTxx)
         K, rhs, Qu, sig_l, sig_u, sl, su = jax.vmap(
             assemble, in_axes=(0,) * 18 + (None, None))(
             deriv.fx, deriv.fu,

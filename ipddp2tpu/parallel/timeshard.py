@@ -108,3 +108,62 @@ def value_scan_timesharded(problem: Problem, elements: ValueElement,
     Vxx = jnp.flip(acc.J, axis=0)
     Vx = jnp.flip(-acc.eta, axis=0)
     return Vx, Vxx
+
+
+# ---------------------------------------------------------------------------
+# End-to-end wiring: backward_mode="timeshard"
+#
+# The solver core is mesh-agnostic (Options is a frozen jit-static config and
+# cannot hold a Mesh), so the active time mesh is communicated through a
+# module-level trace-time context: `solve_timesharded` sets it for the
+# duration of tracing, and `solve._body` reads it when options.backward_mode
+# == "timeshard" to plug `value_scan_timesharded` into the parallel backward
+# pass. The context matters only while the solve traces — the mesh is baked
+# into the compiled program.
+# ---------------------------------------------------------------------------
+
+import contextlib as _contextlib
+
+_ACTIVE_TIME_MESH: list = []
+
+
+def active_time_mesh():
+    """The (mesh, axis) installed by `use_time_mesh`, or raise."""
+    if not _ACTIVE_TIME_MESH:
+        raise RuntimeError(
+            'backward_mode="timeshard" needs an active time mesh; call the '
+            "solve through `solve_timesharded(...)` or wrap tracing in "
+            "`use_time_mesh(mesh, axis)`")
+    return _ACTIVE_TIME_MESH[-1]
+
+
+@_contextlib.contextmanager
+def use_time_mesh(mesh: Mesh, axis: str = "sp"):
+    _ACTIVE_TIME_MESH.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _ACTIVE_TIME_MESH.pop()
+
+
+def solve_timesharded(problem: Problem, bounds, x1, u_init, theta=None,
+                      options=None, mesh: Mesh = None, axis: str = "sp"):
+    """Solve ONE instance with the backward pass's value scan sharded over
+    the mesh's time axis — the long-horizon (T >> 100) regime where a single
+    solve spans chips and the O(T/D + log D)-depth blockwise scan replaces
+    the sequential recursion. `mesh` defaults to a 1-D mesh over all devices;
+    T must divide the axis size."""
+    import dataclasses
+
+    from ..options import Options
+    from ..solve import solve
+
+    if mesh is None:
+        import numpy as np
+        mesh = Mesh(np.asarray(jax.devices()), (axis,))
+    options = options or Options()
+    options = dataclasses.replace(options, backward_mode="timeshard",
+                                  auto_tune=False)
+    with use_time_mesh(mesh, axis):
+        return solve(problem, bounds, x1, u_init, theta=theta,
+                     options=options)

@@ -313,11 +313,19 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
     else:
         second = deriv.cH_phi + contract_dynamics_hessian(
             problem, theta, s.x, s.u, lam[1:])
-    if options.backward_mode == "parallel":
+    if options.backward_mode in ("parallel", "timeshard"):
         from .parallel.priccati import backward_pass_parallel
+        vscan = None
+        if options.backward_mode == "timeshard":
+            from functools import partial
+
+            from .parallel import timeshard
+            mesh, ax = timeshard.active_time_mesh()
+            vscan = partial(timeshard.value_scan_timesharded,
+                            mesh=mesh, axis=ax)
         bw = backward_pass_parallel(problem, deriv, nominal, s.mu,
                                     s.reg_last, options, lam=lam,
-                                    second=second)
+                                    second=second, value_scan=vscan)
     else:
         bw = backward_pass(problem, deriv, nominal, s.mu, s.reg_last,
                            options, lam=lam, second=second)

@@ -73,3 +73,43 @@ def test_timesharded_value_scan_matches_single_device():
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(Vxx_sh), np.asarray(Vxx_ref),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_solve_timesharded_long_horizon():
+    """End-to-end backward_mode="timeshard": a T=1024 long-horizon solve with
+    the value scan sharded over the 8-device mesh must follow the same
+    iterate path as the single-device parallel mode (iterate parity at small
+    k — the regime the mode exists for; full-convergence iteration counts
+    may drift across compilation layouts, CLAUDE.md multi-host lesson)."""
+    from ipddp2tpu.models import double_integrator as di
+    from ipddp2tpu.parallel.timeshard import solve_timesharded
+    from ipddp2tpu.problem import uniform_bounds
+    from ipddp2tpu.solve import solve
+
+    T = 1024                                 # 128 stages per device
+    problem = Problem(T=T, nx=di.NX, nu=di.NU, nc=di.NC,
+                      dynamics=di.dynamics, stage_cost=di.stage_cost,
+                      terminal_cost=di.terminal_cost,
+                      constraints=di.constraints)
+    lo = jnp.array([-di.FORCE_LIMIT, 0.0, 0.0])
+    hi = jnp.array([di.FORCE_LIMIT, jnp.inf, jnp.inf])
+    bounds = uniform_bounds(T, lo, hi)
+    x1 = di.initial_state()
+    u0 = jnp.full((T, di.NU), 0.01)
+
+    opts = Options(optimality_tolerance=1e-7, max_iterations=8)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+    sh = solve_timesharded(problem, bounds, x1, u0, options=opts, mesh=mesh)
+    ref = solve(problem, bounds, x1, u0,
+                options=Options(optimality_tolerance=1e-7, max_iterations=8,
+                                backward_mode="parallel", auto_tune=False))
+    np.testing.assert_allclose(np.asarray(sh.u), np.asarray(ref.u),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-10)
+    # and against the sequential reference backward (same math, scan order)
+    seq = solve(problem, bounds, x1, u0,
+                options=Options(optimality_tolerance=1e-7, max_iterations=8,
+                                backward_mode="scan", auto_tune=False))
+    np.testing.assert_allclose(np.asarray(sh.u), np.asarray(seq.u),
+                               rtol=1e-6, atol=1e-8)
