@@ -81,3 +81,39 @@ def test_comparisons_and_select():
                                rtol=EPS48)
     z = df64.sub(a, a)
     assert bool(jnp.all(df64.eq_zero(z)))
+
+
+def test_transcendentals():
+    """sin/cos/log/exp/sqrt to the df64 contract: error within a few ulps of
+    max(|a|, 1) * 2^-48 — the conditioning floor of a 48-bit input (absolute
+    near zeros of sin/cos and for |log| < 1). The lo word degrades only
+    outside the f32 normal range (|result| < ~1e-30)."""
+    rng = np.random.default_rng(7)
+
+    def err(fn, ref, xs, abs_floor=0.0, cond=1.0):
+        a = df64.from_f64(jnp.asarray(xs))
+        r = np.asarray(df64.to_f64(fn(a)))
+        expect = ref(xs)
+        return np.max(np.abs(r - expect)
+                      / np.maximum(np.abs(expect), max(abs_floor, 1e-300))
+                      / np.maximum(np.abs(xs) * cond, 1.0))
+
+    ULPS = 8 * 2.0 ** -48
+    assert err(df64.log, np.log,
+               np.concatenate([rng.uniform(1e-9, 1e-6, 200),
+                               rng.uniform(0.1, 10.0, 200),
+                               rng.uniform(1e3, 1e9, 200)]),
+               abs_floor=1.0, cond=0.0) < ULPS
+    assert err(df64.exp, np.exp,
+               np.concatenate([rng.uniform(-60.0, 60.0, 300),
+                               rng.uniform(-0.1, 0.1, 100)])) < ULPS
+    assert err(df64.sin, np.sin, rng.uniform(-10, 10, 400),
+               abs_floor=1.0) < ULPS
+    assert err(df64.cos, np.cos, rng.uniform(-10, 10, 400),
+               abs_floor=1.0) < ULPS
+    assert err(df64.sqrt, np.sqrt, rng.uniform(1e-12, 1e12, 300),
+               cond=0.0) < ULPS
+    # exact edge semantics
+    assert float(df64.to_f64(df64.sqrt(df64.from_f64(jnp.asarray(0.0))))) == 0
+    assert np.isinf(float(df64.exp(df64.from_f64(jnp.asarray(200.0))).hi))
+    assert np.isnan(float(df64.log(df64.from_f64(jnp.asarray(-1.0))).hi))
