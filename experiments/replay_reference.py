@@ -109,10 +109,17 @@ def main():
                              "acrobot_contact", "pushing_1_obs"])
     ap.add_argument("--tol", type=float, default=1e-7)
     ap.add_argument("--max-iter", type=int, default=1000)
+    ap.add_argument("--inertia", default="ldl",
+                    choices=["ldl", "eigh", "bk"],
+                    help="inertia oracle; 'bk' is the reference-faithful "
+                         "Bunch-Kaufman rook diagnostic (ops/bk.py)")
+    ap.add_argument("--suffix", default="",
+                    help="suffix for the results file name")
     args = ap.parse_args()
 
     options = Options(optimality_tolerance=args.tol,
-                      max_iterations=args.max_iter)
+                      max_iterations=args.max_iter,
+                      inertia_method=args.inertia)
     here = os.path.dirname(os.path.abspath(__file__))
     outdir = os.path.join(here, "results")
     os.makedirs(outdir, exist_ok=True)
@@ -156,7 +163,7 @@ def main():
         if fail_ref:
             print(f"    seeds we solved but ref did not: {fail_ref}")
 
-        path = os.path.join(outdir, f"{name}_replay.txt")
+        path = os.path.join(outdir, f"{name}_replay{args.suffix}.txt")
         with open(path, "w") as io:
             io.write(" seed  iterations  status     objective        "
                      "   primal        \n")

@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--seeds", type=int, default=100)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tol", type=float, default=1e-7)
+    ap.add_argument("--inertia", default="ldl",
+                    choices=["ldl", "eigh", "bk"],
+                    help="inertia oracle; 'bk' is the reference-faithful "
+                         "Bunch-Kaufman rook diagnostic (ops/bk.py)")
+    ap.add_argument("--suffix", default="",
+                    help="suffix for the results file name")
     args = ap.parse_args()
 
     if args.cpu:
@@ -46,7 +52,8 @@ def main():
     from ipddp2tpu.models import (acrobot, cartpole, concar, concar_quad,
                                   double_integrator, pushing)
 
-    options = Options(optimality_tolerance=args.tol, max_iterations=1000)
+    options = Options(optimality_tolerance=args.tol, max_iterations=1000,
+                      inertia_method=args.inertia)
     here = os.path.dirname(os.path.abspath(__file__))
     outdir = os.path.join(here, "results")
     paramdir = os.path.join(here, "params")
@@ -70,7 +77,7 @@ def main():
         jax.block_until_ready(sol.converged)
         wall = time.time() - t0
         n = sol.converged.shape[0]
-        path = os.path.join(outdir, f"{name}.txt")
+        path = os.path.join(outdir, f"{name}{args.suffix}.txt")
         with open(path, "w") as io:
             io.write(" seed  iterations  status     objective        "
                      "   primal        \n")

@@ -181,6 +181,23 @@ def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
             factors = eigh_factor_and_inertia(K, atol=options.inertia_atol)
             X = eigh_solve(factors, rhs)
             solve_ok = jnp.asarray(True)
+        elif options.inertia_method == "bk":
+            # Reference-faithful Bunch-Kaufman rook diagnostic path
+            # (reference: src/inertia_correction.jl:257-276): plain ldiv,
+            # no refinement/residual gate; singular = info > 0; ladder on
+            # np != nu or info != 0. See ops/bk.py fidelity notes.
+            from .ops.bk import bk_factor_rook, bk_inertia, bk_solve
+            bkf = bk_factor_rook(K)
+            n_pos_bk, _, _ = bk_inertia(bkf, atol=options.inertia_atol)
+            X = bk_solve(bkf, rhs)
+
+            class _F(NamedTuple):
+                ok: Array
+                n_pos: Array
+                n_zero: Array
+            factors = _F(ok=bkf.info == 0, n_pos=n_pos_bk,
+                         n_zero=jnp.where(bkf.info > 0, 1, 0))
+            solve_ok = jnp.asarray(True)
         else:
             # Diagonal-pivoted LDL^T: pivot signs give the exact inertia when
             # the factorization is sound; soundness is certified a posteriori

@@ -107,8 +107,15 @@ class Options:
     kkt_residual_rtol: float = 1e-6     # backward-stability gate on refined KKT
                                         # solves; failing it triggers the same
                                         # reg-bump escape as wrong inertia
-    inertia_method: str = "ldl"         # "ldl" (fast, unpivoted + refinement) or
-                                        # "eigh" (oracle: exact inertia, robust)
+    inertia_method: str = "ldl"         # "ldl" (fast, diagonal-pivoted +
+                                        #   refinement, the default),
+                                        # "eigh" (oracle: exact inertia), or
+                                        # "bk" (reference-faithful rook
+                                        #   Bunch-Kaufman diagnostic,
+                                        #   ops/bk.py — LAPACK sytrf_rook's
+                                        #   decision structure + the exact
+                                        #   reg-ladder semantics of
+                                        #   src/inertia_correction.jl)
     ls_min_step: float = 0.0            # extra lower bound on line-search step size
                                         # (0 = machine eps like the reference)
     ls_failure_resets: int = 0          # robustness extension (0 = reference
@@ -122,6 +129,19 @@ class Options:
                                         # K > 0 = evaluate gammas 2^-0..2^-(K-1)
                                         # in one batched rollout and pick the
                                         # largest acceptable (TPU fast path)
+    forward_kernel: str = "auto"        # speculative-LS forward-pass dispatch
+                                        # when vmapped (needs ls_speculative
+                                        # > 0):
+                                        # "auto"   = fused Pallas rollout/
+                                        #            metrics kernels on TPU
+                                        #            (df64 for f64 when the
+                                        #            model traces through
+                                        #            the dd interpreter)
+                                        # "pallas" = always (interpret mode
+                                        #            off-TPU; the test path)
+                                        # "pallas_df64" = force the df64
+                                        #            kernels
+                                        # "xla"    = never
     auto_tune: bool = True              # batched TPU entry points auto-select
                                         # backward_mode / ls_speculative from
                                         # the measured crossover table
