@@ -55,7 +55,8 @@ def worker(batch: int, mode: str, tol: float, seed: int = 0):
     from ipddp2tpu.models import concar
 
     options = Options(optimality_tolerance=tol, max_iterations=600,
-                      ldlt_unroll=False)
+                      ldlt_unroll=False,
+                      forward_kernel=os.environ.get("BENCH_FWDK", "auto"))
     problem = concar.problem()
     # short per-call device programs: the TPU runtime here kills long
     # executions, so the solve is chunked and resumed from state on the host

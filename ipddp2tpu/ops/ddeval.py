@@ -52,6 +52,8 @@ def _to_dd_const(x):
         # non-finite hi: keep lo = 0 (inf - inf = nan), df64.from_f64 rule
         lo = np.where(np.isfinite(hi), lo, np.zeros_like(lo))
         return DF(jnp.asarray(hi), jnp.asarray(lo))
+    if arr.dtype in (np.int64, np.uint64):
+        arr = arr.astype(np.int32)      # Mosaic rejects i64 vectors
     return jnp.asarray(arr)
 
 
@@ -281,6 +283,14 @@ _RULES = {
 }
 
 
+def _as_const(c):
+    """Constant -> interpreter value. Already-converted DF pairs and traced
+    arrays (kernel-supplied consts) pass through; concrete values split."""
+    if isinstance(c, DF) or isinstance(c, jax.core.Tracer):
+        return c
+    return _to_dd_const(c)
+
+
 def _eval_jaxpr(jaxpr, consts, args):
     env = {}
 
@@ -293,7 +303,7 @@ def _eval_jaxpr(jaxpr, consts, args):
         env[v] = val
 
     for v, c in zip(jaxpr.constvars, consts):
-        write(v, _to_dd_const(c))
+        write(v, _as_const(c))
     for v, a in zip(jaxpr.invars, args):
         write(v, a)
 
@@ -319,6 +329,116 @@ def _eval_jaxpr(jaxpr, consts, args):
             write(eqn.outvars[0], out)
 
     return [read(v) for v in jaxpr.outvars]
+
+
+def make_dd_jaxpr(fn, *args):
+    """Trace `fn(*args)` at f64 avals for later df64 interpretation.
+
+    Same aval convention as `dd_eval` (DF leaves -> f64 avals). Returns
+    (closed_jaxpr, out_treedef); evaluate with `eval_dd_jaxpr`. Splitting
+    trace from eval lets callers hoist the jaxpr's CONSTANTS out of a Pallas
+    kernel (array constants may not be captured by kernel closures) and feed
+    them back in as kernel inputs."""
+    flat, treedef = jax.tree.flatten(args,
+                                     is_leaf=lambda x: isinstance(x, DF))
+
+    def template(v):
+        if isinstance(v, DF):
+            return jax.ShapeDtypeStruct(jnp.shape(v.hi), jnp.float64)
+        return jax.ShapeDtypeStruct(jnp.shape(v), jnp.asarray(v).dtype)
+
+    tpl = [template(v) for v in flat]
+    closed = jax.make_jaxpr(
+        lambda *xs: fn(*jax.tree.unflatten(treedef, xs)))(*tpl)
+    out_tree = jax.tree.structure(
+        jax.eval_shape(lambda *xs: fn(*jax.tree.unflatten(treedef, xs)),
+                       *tpl))
+    return closed, out_tree
+
+
+def eval_dd_jaxpr(closed, out_tree, consts, *args):
+    """Interpret a jaxpr from `make_dd_jaxpr` in df64.
+
+    `consts` replaces the traced constants (pass DF pairs for float
+    constants — e.g. values read from kernel refs); None uses the traced
+    concrete constants directly."""
+    flat, _ = jax.tree.flatten(args, is_leaf=lambda x: isinstance(x, DF))
+    outs = _eval_jaxpr(closed.jaxpr,
+                       closed.consts if consts is None else consts, flat)
+    return jax.tree.unflatten(out_tree, outs)
+
+
+def _dot_general_f32(a, b, *, dimension_numbers, **params):
+    """Mosaic-safe dot_general: decomposed into mul + reduce over the
+    (static, small) contracting dims — Mosaic's tpu.matmul lowering rejects
+    the batched small-dot shapes model functions produce under vmap."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    la = [i for i in range(a.ndim) if i not in tuple(lc) + tuple(lb)]
+    ra = [i for i in range(b.ndim) if i not in tuple(rc) + tuple(rb)]
+    pa = list(lb) + la + list(lc)
+    pb = list(rb) + ra + list(rc)
+    ah = jnp.transpose(a, pa)
+    bh = jnp.transpose(b, pb)
+    nb, nla, nra = len(lb), len(la), len(ra)
+    csize = int(np.prod(ah.shape[nb + nla:]) or 1)
+    ah = ah.reshape(ah.shape[:nb + nla] + (csize,))
+    bh = bh.reshape(bh.shape[:nb + nra] + (csize,))
+    for _ in range(nra):
+        ah = ah[..., None, :]
+    for _ in range(nla):
+        bh = jnp.expand_dims(bh, nb)
+    acc = None
+    for k in range(csize):
+        term = ah[..., k] * bh[..., k]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _eval_mosaic(jaxpr, consts, invals):
+    """bind-based jaxpr replay with Mosaic-safe overrides (recursive into
+    call primitives)."""
+    env = {}
+
+    def read(v):
+        if isinstance(v, jcore.Literal):
+            val = np.asarray(v.val)
+            if val.dtype in (np.int64, np.uint64):
+                val = val.astype(np.int32)
+            return jnp.asarray(val)
+        return env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c if isinstance(c, jax.core.Tracer) else jnp.asarray(c)
+    for v, a in zip(jaxpr.invars, invals):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        iv = [read(v) for v in eqn.invars]
+        if eqn.primitive.name == "dot_general":
+            out = _dot_general_f32(*iv, dimension_numbers=eqn.params[
+                "dimension_numbers"])
+        elif eqn.primitive.name in ("pjit", "closed_call", "remat"):
+            inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            sub = inner.jaxpr if hasattr(inner, "jaxpr") else inner
+            sub_consts = inner.consts if hasattr(inner, "consts") else []
+            out = _eval_mosaic(sub, sub_consts, iv)
+        else:
+            out = eqn.primitive.bind(*iv, **eqn.params)
+        if eqn.primitive.multiple_results:
+            for v, o in zip(eqn.outvars, out):
+                env[v] = o
+        else:
+            env[eqn.outvars[0]] = out
+    return [read(v) for v in jaxpr.outvars]
+
+
+def eval_jaxpr_mosaic(closed, out_tree, consts, *args):
+    """Evaluate a traced model jaxpr with plain f32 semantics inside a
+    Pallas TPU kernel: primitives replay via `bind` except the ones whose
+    default lowering Mosaic rejects (small-dot dot_general)."""
+    outs = _eval_mosaic(closed.jaxpr,
+                        closed.consts if consts is None else consts,
+                        jax.tree.leaves(args))
+    return jax.tree.unflatten(out_tree, outs)
 
 
 def dd_eval(fn, *args):

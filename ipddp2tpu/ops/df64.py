@@ -18,6 +18,17 @@ floating-point expressions, so the exact sequences below survive compilation.
 
 Accuracy contract (pinned by tests/test_df64.py): add/sub/mul/div relative
 error < 2^-47 on well-scaled inputs; comparisons are exact on hi.
+
+CAVEAT — XLA:CPU compiled programs: the contract holds op-by-op (eager) and
+under Mosaic on real TPU (no FMA contraction; verified on-chip by
+scripts/tpu_dd_probe.py and by the round-2 golden replays through the df64
+backward megakernel), but XLA:CPU's LLVM backend contracts mul+add chains
+inside COMPILED programs (jit bodies, interpret-mode Pallas), degrading the
+error-free transforms to ~1e-12-1e-13 per op — measured ~1e-10 accumulated
+over a 100-stage recursion, identical with `optimization_barrier`s inserted
+(it is backend codegen, not HLO rewriting). Interpret-mode kernel parity
+tests therefore assert at ~1e-8, not 2^-48; on-chip precision is pinned by
+the TPU probe.
 """
 
 from __future__ import annotations

@@ -46,12 +46,21 @@ bounds = concar.bounds(f_lims, tau_lims)
 options = Options(optimality_tolerance=1e-10, max_iterations=30,
                   ldlt_unroll=False)
 
-# mid-solve state in f64
+# mid-solve state: warm up in f32 (a 30-iteration f64 chunk at b1024 is a
+# long-enough device program to CRASH the TPU worker — observed round 3;
+# the attribution only needs a typical mid-solve state, so run the cheap
+# f32 phase and promote), then cast to f64.
 t0 = time.time()
-_, s = solve_chunked(prob, bounds, x1s, u0, theta=thetas, options=options,
-                     chunk=30, batched=True, return_state=True)
-np.asarray(s.k)
-print(f"warmup 30 f64 iters: {time.time() - t0:.1f}s", flush=True)
+c32 = lambda a: (a.astype(jnp.float32)
+                 if jnp.issubdtype(a.dtype, jnp.floating) else a)
+_, s32 = solve_chunked(prob, *jax.tree.map(c32, (bounds, x1s, u0)),
+                       theta=jax.tree.map(c32, thetas), options=options,
+                       chunk=30, batched=True, return_state=True)
+np.asarray(s32.k)
+c64 = lambda a: (a.astype(DT)
+                 if jnp.issubdtype(a.dtype, jnp.floating) else a)
+s = jax.tree.map(c64, s32)
+print(f"warmup 30 f32 iters + promote: {time.time() - t0:.1f}s", flush=True)
 
 
 def chained(name, fn, seed_args, out_to_eps):
