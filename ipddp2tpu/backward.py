@@ -98,12 +98,39 @@ class _StageOut(NamedTuple):
     zeta_u: Array
 
 
-def costate_scan(deriv: DerivativeBundle, phi):
+def costate_scan(deriv: DerivativeBundle, phi, mode: str = "auto"):
     """Costate refresh lam_t = r_x + fx' lam_{t+1} (reference:
-    src/backward_pass.jl:183,189) as an associative affine scan over reversed
-    time — available BEFORE the backward sweep, which lets the dynamics
-    Hessians be pre-contracted outside the sequential scan."""
+    src/backward_pass.jl:183,189), evaluated BEFORE the backward sweep so
+    the dynamics Hessians can be pre-contracted outside the sequential scan.
+
+    Two evaluation orders with identical-math results (up to reassociation):
+      * "assoc": associative affine scan, O(log T) depth but O(T log T)
+        [nx,nx]@[nx,nx] combines — wins when depth (latency) dominates;
+      * "seq": reverse `lax.scan` of [nx,nx]@[nx] matvecs, O(T) depth but
+        4x less work and no log factor — wins when the arithmetic is
+        compute-bound (measured: the f64-emulated combines at b1024 cost
+        127.8 ms/iteration, the dominant unfused phase; scripts/
+        tpu_f64_phase_probe.py).
+    "auto" = seq for f64 ON TPU (emulation makes every flop expensive),
+    assoc otherwise — CPU keeps assoc so golden-parity iterate paths are
+    bit-stable across rounds (reassociation shifts iteration counts)."""
     r_x = deriv.lx + jnp.einsum("tcx,tc->tx", deriv.cx, phi)
+    lam_T = deriv.lTx
+    if mode == "auto":
+        mode = ("seq" if (r_x.dtype == jnp.float64
+                          and jax.default_backend() == "tpu")
+                else "assoc")
+
+    if mode == "seq":
+        def step(lam_next, xs):
+            fxT, r = xs
+            lam = r + (fxT @ lam_next[..., None])[..., 0]
+            return lam, lam
+
+        _, lam = jax.lax.scan(step, lam_T,
+                              (deriv.fx.swapaxes(-1, -2), r_x),
+                              reverse=True)
+        return jnp.concatenate([lam, lam_T[None]], axis=0)   # [T+1, nx]
 
     def comb(a, b):
         # a = lower scan index (terminal side, inner map), b = outer
@@ -113,7 +140,6 @@ def costate_scan(deriv: DerivativeBundle, phi):
 
     Ms = jnp.flip(deriv.fx.swapaxes(-1, -2), axis=0)
     vs = jnp.flip(r_x, axis=0)
-    lam_T = deriv.lTx
     Mc, vc = jax.lax.associative_scan(comb, (Ms, vs))
     lam = jnp.flip((Mc @ lam_T[..., None])[..., 0] + vc, axis=0)
     return jnp.concatenate([lam, lam_T[None]], axis=0)   # [T+1, nx]

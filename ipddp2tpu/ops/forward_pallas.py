@@ -252,7 +252,12 @@ class _TracedModel:
             else:
                 store = arr.astype(np.int32).reshape(lift)
                 self.const_meta.append(("int", shape, store.shape))
-            self.const_args.append(jnp.asarray(store))
+            # KEEP as numpy: this object is lru_cached and may be built
+            # while an outer jit trace is active — jnp.asarray would then
+            # produce a DynamicJaxprTracer that leaks into later traces
+            # ("No constant handler" errors). np arrays are trace-agnostic;
+            # call sites convert per-call.
+            self.const_args.append(store)
         self.n_stage_consts = len(self.stage_closed.consts)
 
     def read_consts(self, const_refs):

@@ -105,8 +105,12 @@ chained("derivatives (f64)", vm(
 deriv = jax.jit(vm(lambda th, x, u, p: evaluate_derivatives(
     prob, th, x, u, p), 0, 0, 0, 0))(thetas, s.x, s.u, s.phi)
 
-chained("costate scan (f64)", vm(lambda d, p: costate_scan(d, p), 0, 0),
-        (deriv, s.phi), first)
+chained("costate scan assoc (f64)", vm(
+    lambda d, p: costate_scan(d, p, mode="assoc"), 0, 0),
+    (deriv, s.phi), first)
+chained("costate scan seq (f64)", vm(
+    lambda d, p: costate_scan(d, p, mode="seq"), 0, 0),
+    (deriv, s.phi), first)
 lam = jax.jit(vm(lambda d, p: costate_scan(d, p), 0, 0))(deriv, s.phi)
 
 chained("hessian contraction (f64)", vm(
@@ -119,7 +123,12 @@ second = second + deriv.cH_phi
 c_rel = jax.vmap(lambda c, m: relax_constraints(prob, c, m))(s.c_raw, s.mu)
 nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
 
-for kern in ("auto", "xla"):
+# the XLA f64 ladder at b>=512 is a long-enough device program to crash
+# the TPU worker (observed round 3); keep the comparison opt-in
+kerns = (("auto", "xla") if (BATCH <= 256
+                             or os.environ.get("PROBE_XLA_LADDER"))
+         else ("auto",))
+for kern in kerns:
     opts_k = Options(optimality_tolerance=1e-10, ldlt_unroll=False,
                      backward_kernel=kern)
     chained(f"backward ladder ({kern})", vm(
@@ -146,3 +155,15 @@ chained("forward pass full LS (f64)", vm(
     0, Bounds(0, 0), 0, 0, 0, 0, 0, 0, 0, 0),
     (thetas, bounds, bw.gains, jax.vmap(_nominal_trial)(s), bw.dL,
      s.mu, s.theta_curr, s.L_curr, s.min_primal_1, s.filter_pts), first)
+
+from ipddp2tpu.forward import forward_pass_speculative  # noqa: E402
+
+for fk in ("auto", "xla"):
+    opts_s = Options(optimality_tolerance=1e-10, ldlt_unroll=False,
+                     ls_speculative=8, forward_kernel=fk)
+    chained(f"forward spec-8 LS ({fk}, f64)", vm(
+        lambda th, b, g, nt, dL, mu, tc, lc, mp, fp: forward_pass_speculative(
+            prob, th, b, g, nt, dL, mu, tc, lc, mp, fp, opts_s),
+        0, Bounds(0, 0), 0, 0, 0, 0, 0, 0, 0, 0),
+        (thetas, bounds, bw.gains, jax.vmap(_nominal_trial)(s), bw.dL,
+         s.mu, s.theta_curr, s.L_curr, s.min_primal_1, s.filter_pts), first)

@@ -155,12 +155,16 @@ def test_speculative_kernel_matches_xla_no_theta():
     _assert_result_parity(ref, got, tol=1e-7)
 
 
-def test_full_solve_with_forward_kernel():
+@pytest.mark.parametrize("spec", [8, 0])
+def test_full_solve_with_forward_kernel(spec):
     """End-to-end solve with the forward kernel forced ON (interpret mode)
-    must certify the same optimum as the pure XLA path. Short-horizon
-    double integrator: interpret-mode kernels unroll the grid into the
-    program, so the end-to-end check uses T=16; full-horizon coverage
-    comes from the mid-solve parity tests above and the on-chip bench."""
+    must certify the same optimum as the pure XLA path — BOTH line-search
+    modes: speculative (metrics kernel) and sequential backtracking (trial
+    kernel per gamma; spec=0 — the path that caught the lru-cached-tracer
+    regression). Short-horizon double integrator: interpret-mode kernels
+    unroll the grid into the program, so the end-to-end check uses T=16;
+    full-horizon coverage comes from the mid-solve parity tests above and
+    the on-chip bench."""
     from ipddp2tpu.batch import solve_batch
 
     n = 2
@@ -173,7 +177,7 @@ def test_full_solve_with_forward_kernel():
     u0 = jnp.broadcast_to(di.initial_controls()[:T_SHORT],
                           (n, T_SHORT, di.NU))
     base = Options(optimality_tolerance=1e-7, max_iterations=120,
-                   auto_tune=False, ls_speculative=8)
+                   auto_tune=False, ls_speculative=spec)
     ref = solve_batch(prob, bounds, x1s, u0, options=base)
     kopts = base.__class__(**{**base.__dict__, "forward_kernel": "pallas"})
     got = solve_batch(prob, bounds, x1s, u0, options=kopts)
