@@ -35,13 +35,18 @@ from ipddp2tpu.solve import _nominal_trial
 
 BATCH = int(os.environ.get("PROBE_BATCH", "64"))
 REPS = int(os.environ.get("PROBE_REPS", "10"))
-DT = jnp.float64
+# PROBE_DTYPE=f32 attributes the bulk-phase iteration instead (same rows;
+# the "f64" labels then read as the probe dtype)
+DT = jnp.float32 if os.environ.get("PROBE_DTYPE") == "f32" else jnp.float64
 
 prob = concar.problem()
 keys = jax.random.split(jax.random.PRNGKey(7), BATCH)
 thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
 u0 = jnp.broadcast_to(concar.initial_controls(), (BATCH, concar.T, concar.NU))
 bounds = concar.bounds(f_lims, tau_lims)
+cDT = lambda a: (a.astype(DT)
+                 if jnp.issubdtype(a.dtype, jnp.floating) else a)
+thetas, x1s, u0, bounds = jax.tree.map(cDT, (thetas, x1s, u0, bounds))
 
 options = Options(optimality_tolerance=1e-10, max_iterations=30,
                   ldlt_unroll=False)
@@ -158,7 +163,7 @@ chained("forward pass full LS (f64)", vm(
 
 from ipddp2tpu.forward import forward_pass_speculative  # noqa: E402
 
-for fk in ("auto", "xla"):
+for fk in ("pallas", "xla"):
     opts_s = Options(optimality_tolerance=1e-10, ldlt_unroll=False,
                      ls_speculative=8, forward_kernel=fk)
     chained(f"forward spec-8 LS ({fk}, f64)", vm(
