@@ -54,9 +54,17 @@ def worker(batch: int, mode: str, tol: float, seed: int = 0):
     from ipddp2tpu.mixed import solve_mixed
     from ipddp2tpu.models import concar
 
+    p1spec = int(os.environ.get("BENCH_P1SPEC", "0"))
     options = Options(optimality_tolerance=tol, max_iterations=600,
                       ldlt_unroll=False,
-                      forward_kernel=os.environ.get("BENCH_FWDK", "auto"))
+                      forward_kernel=os.environ.get("BENCH_FWDK", "auto"),
+                      # hybrid line search in the f32 bulk phase: one
+                      # batched K-candidate evaluation + sequential
+                      # continuation below 2^-K (same largest-acceptable-
+                      # gamma semantics; kills the max-over-batch
+                      # backtracking chains)
+                      **({"ls_speculative": p1spec,
+                          "ls_spec_continue": True} if p1spec else {}))
     problem = concar.problem()
     # short per-call device programs: the TPU runtime here kills long
     # executions, so the solve is chunked and resumed from state on the host

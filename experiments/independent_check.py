@@ -118,9 +118,10 @@ def check_instance(name, problem, bounds, theta, x1, u0, ours, maxiter,
         t0 = time.time()
         cold = minimize(lambda v: float(obj(v)), np.asarray(u0).ravel(), **kw)
         cold_s = time.time() - t0
-        basin = abs(cold.fun - ours_obj) <= 1e-4 * max(1.0, abs(ours_obj))
+        same = abs(cold.fun - ours_obj) <= 1e-4 * max(1.0, abs(ours_obj))
+        basin = (bool(same), float(cold.fun))
         cold_txt = (f"slsqp(cold)={cold.fun:.8e} "
-                    f"[{'same basin' if basin else 'different local opt'}; "
+                    f"[{'same basin' if same else 'different local opt'}; "
                     f"{cold.nit} its, {cold_s:.0f}s]  ")
     else:
         cold_txt = "(cold start skipped: dense NLP too large)  "
@@ -134,7 +135,7 @@ def check_instance(name, problem, bounds, theta, x1, u0, ours, maxiter,
     return basin
 
 
-def instances(name, seeds):
+def instances(name, seeds, key=1):
     """(module, problem, bounds[b], thetas[b] | None, x1s[b], u0s[b])."""
     from ipddp2tpu.models import (acrobot, cartpole, concar, concar_quad,
                                   double_integrator, pushing)
@@ -147,7 +148,7 @@ def instances(name, seeds):
     mod = {"concar": concar, "concar_quad": concar_quad,
            "cartpole_friction": cartpole, "acrobot_contact": acrobot,
            "pushing_1_obs": pushing}[name]
-    keys = jax.random.split(jax.random.PRNGKey(1), seeds)
+    keys = jax.random.split(jax.random.PRNGKey(key), seeds)
     if name in ("concar", "concar_quad"):
         thetas, f_lims, tau_lims, x1s = jax.vmap(mod.random_instance)(keys)
         bounds = mod.bounds(f_lims, tau_lims)
@@ -167,6 +168,9 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--maxiter", type=int, default=400)
     ap.add_argument("--warm-maxiter", type=int, default=50)
+    ap.add_argument("--key", type=int, default=1,
+                    help="base PRNG key: disjoint instance shards for "
+                         "parallel runs")
     ap.add_argument("--cold-all", action="store_true",
                     help="force cold-start SLSQP on the contact problems too")
     args = ap.parse_args()
@@ -178,11 +182,13 @@ def main():
         if name not in ALL_PROBLEMS:
             print(f"unknown problem {name}", file=sys.stderr)
             continue
-        problem, bounds, thetas, x1s, u0s = instances(name, args.seeds)
+        problem, bounds, thetas, x1s, u0s = instances(name, args.seeds,
+                                              key=args.key)
         n = int(x1s.shape[0])
         sol = solve_batch(problem, bounds, x1s, u0s, theta=thetas,
                           options=options)
         cold = args.cold_all or name in COLD_DEFAULT
+        ours_objs, cold_objs = [], []
         for i in range(n):
             if not bool(sol.converged[i]):
                 print(f"  {name} seed {i + 1}: ours unconverged, skipped")
@@ -197,8 +203,18 @@ def main():
             certs += 1
             total += 1
             if basin is not None:
-                agree += int(basin)
+                agree += int(basin[0])
                 cold_total += 1
+                ours_objs.append(float(sol.objective[i]))
+                cold_objs.append(basin[1])
+        # distribution-level comparison (the reference's two-solver
+        # strategy, reference: experiments/proxddp/concar.py:24-32, applied
+        # to OUR randomized instances): objective medians side by side
+        if ours_objs and all(c is not None for c in cold_objs):
+            mo, mc = float(np.median(ours_objs)), float(np.median(cold_objs))
+            print(f"  {name}: median objective ours {mo:.6e} vs "
+                  f"slsqp(cold) {mc:.6e} over {len(ours_objs)} instances "
+                  f"(ratio {mo / mc:.4f})")
 
     print(f"\n{certs}/{total} stationarity certificates held; "
           f"{agree}/{cold_total} cold-start basin agreements")

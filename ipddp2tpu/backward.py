@@ -107,19 +107,17 @@ def costate_scan(deriv: DerivativeBundle, phi, mode: str = "auto"):
       * "assoc": associative affine scan, O(log T) depth but O(T log T)
         [nx,nx]@[nx,nx] combines — wins when depth (latency) dominates;
       * "seq": reverse `lax.scan` of [nx,nx]@[nx] matvecs, O(T) depth but
-        4x less work and no log factor — wins when the arithmetic is
-        compute-bound (measured: the f64-emulated combines at b1024 cost
-        127.8 ms/iteration, the dominant unfused phase; scripts/
-        tpu_f64_phase_probe.py).
-    "auto" = seq for f64 ON TPU (emulation makes every flop expensive),
-    assoc otherwise — CPU keeps assoc so golden-parity iterate paths are
-    bit-stable across rounds (reassociation shifts iteration counts)."""
+        4x less work and no log factor — wins whenever the batch keeps the
+        lanes busy (measured at b1024, scripts/tpu_f64_phase_probe.py:
+        f64-emulated 128.5 -> 9.8 ms/iteration, f32 51.5 -> 4.8).
+    "auto" = seq ON TPU (the headline paths run large batches where the
+    lanes amortize the depth), assoc otherwise — CPU keeps assoc so
+    golden-parity iterate paths are bit-stable across rounds
+    (reassociation shifts iteration counts)."""
     r_x = deriv.lx + jnp.einsum("tcx,tc->tx", deriv.cx, phi)
     lam_T = deriv.lTx
     if mode == "auto":
-        mode = ("seq" if (r_x.dtype == jnp.float64
-                          and jax.default_backend() == "tpu")
-                else "assoc")
+        mode = "seq" if jax.default_backend() == "tpu" else "assoc"
 
     if mode == "seq":
         def step(lam_next, xs):

@@ -136,7 +136,14 @@ def filter_blocks(filter_pts: Array, theta, L) -> Array:
 
 def forward_pass(problem: Problem, theta, bounds: Bounds, gains: Gains,
                  nominal: Trial, dL, mu, theta_prev, L_prev,
-                 min_primal_1, filter_pts, options: Options) -> ForwardResult:
+                 min_primal_1, filter_pts, options: Options,
+                 gamma0=None, skip=None, num_ls0=None) -> ForwardResult:
+    """Backtracking line search (reference: src/forward_pass.jl:1-57).
+
+    `gamma0`/`skip`/`num_ls0` support the hybrid continuation
+    (`forward_pass_hybrid`): start backtracking at `gamma0` instead of 1,
+    run zero trials where `skip` is True (the speculative pre-pass already
+    accepted), and seed the trial counter."""
     dtype = nominal.u.dtype
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     min_step = jnp.maximum(eps, jnp.asarray(options.ls_min_step, dtype))
@@ -190,9 +197,12 @@ def forward_pass(problem: Problem, theta, bounds: Bounds, gains: Gains,
         counted = finite & frac_ok & ~accept
         return trial, th, L, J, accept, status, counted, armijo, switching
 
+    do_skip = (jnp.zeros((), jnp.bool_) if skip is None
+               else jnp.asarray(skip))
+
     def cond(carry):
         gamma, done = carry[0], carry[1]
-        return ~done & (gamma >= min_step)
+        return ~do_skip & ~done & (gamma >= min_step)
 
     def body(carry):
         gamma, done, _, num_ls, *_ = carry
@@ -209,8 +219,11 @@ def forward_pass(problem: Problem, theta, bounds: Bounds, gains: Gains,
     zero = mu * jnp.zeros((), dtype)
     vfalse = zero > jnp.zeros((), dtype)
     izero = zero.astype(jnp.int32)
-    carry0 = (jnp.ones((), dtype) + zero, vfalse, izero,
-              izero, zeros_trial, zero, zero, zero,
+    g0 = (jnp.ones((), dtype) if gamma0 is None
+          else jnp.asarray(gamma0, dtype))
+    n0 = izero if num_ls0 is None else jnp.asarray(num_ls0, jnp.int32)
+    carry0 = (g0 + zero, vfalse, izero,
+              n0, zeros_trial, zero, zero, zero,
               vfalse, vfalse)
     (gamma, done, _, num_ls, trial, th, L, J, armijo, switching) = \
         jax.lax.while_loop(cond, body, carry0)
@@ -283,7 +296,12 @@ def _forward_pass_speculative_xla(problem: Problem, theta, bounds: Bounds,
     found = jnp.any(accepts)
     idx = jnp.argmax(accepts)          # first (largest) accepted gamma
     pick = lambda a: jax.tree.map(lambda x: x[idx], a)
-    num_ls = jnp.sum(jnp.where(jnp.arange(K) < idx, counted, False))
+    # not-found: count ALL counted trials so the hybrid continuation's
+    # counter picks up where the K candidates left off
+    num_ls = jnp.where(found,
+                       jnp.sum(jnp.where(jnp.arange(K) < idx, counted,
+                                         False)),
+                       jnp.sum(jnp.where(counted, 1, 0)))
     return ForwardResult(
         trial=pick(trials), theta_next=ths[idx], L_next=Ls[idx],
         objective=Js[idx],
@@ -401,9 +419,11 @@ def _speculative_batched(problem: Problem, options: Options, dd_mode: bool,
                   iu=cast(iu), phi=cast(phi), zl=cast(zl), zu=cast(zu))
 
     counted = finite & ftb & ~accept
-    num_ls = jnp.sum(
-        jnp.where(jnp.arange(K)[None, :] < idx[:, None], counted, False),
-        axis=1).astype(jnp.int32)
+    num_ls = jnp.where(
+        found,
+        jnp.sum(jnp.where(jnp.arange(K)[None, :] < idx[:, None], counted,
+                          False), axis=1),
+        jnp.sum(jnp.where(counted, 1, 0), axis=1)).astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
     return ForwardResult(
         trial=trial, theta_next=take(th), L_next=take(L),
@@ -462,6 +482,34 @@ def forward_pass_speculative(problem: Problem, theta, bounds: Bounds,
     fn = _make_speculative(problem, options)
     return fn(theta, bounds, gains, nominal, dL, mu, theta_prev, L_prev,
               min_primal_1, filter_pts)
+
+
+def forward_pass_hybrid(problem: Problem, theta, bounds: Bounds,
+                        gains: Gains, nominal: Trial, dL, mu,
+                        theta_prev, L_prev, min_primal_1, filter_pts,
+                        options: Options) -> ForwardResult:
+    """Hybrid line search: one batched evaluation of the K = ls_speculative
+    largest candidates, then sequential backtracking CONTINUES from 2^-K
+    for instances where none was acceptable.
+
+    Semantics are identical to pure backtracking (`forward_pass`): both
+    accept the largest acceptable gamma in the same 2^-i sequence with the
+    same per-candidate acceptance tests — the hybrid only changes the
+    evaluation schedule. Under vmap the continuation while_loop runs zero
+    trips unless some instance genuinely backtracks below 2^-K, so the
+    max-over-batch trial chain that makes deep-backtracking iterations
+    cost 10-20 sequential rollouts collapses to ONE batched evaluation in
+    the common case."""
+    spec = forward_pass_speculative(problem, theta, bounds, gains, nominal,
+                                    dL, mu, theta_prev, L_prev,
+                                    min_primal_1, filter_pts, options)
+    found = spec.status == 0
+    K = options.ls_speculative
+    seq = forward_pass(problem, theta, bounds, gains, nominal, dL, mu,
+                       theta_prev, L_prev, min_primal_1, filter_pts,
+                       options, gamma0=0.5 ** K, skip=found,
+                       num_ls0=spec.num_ls)
+    return jax.tree.map(lambda a, b: jnp.where(found, a, b), spec, seq)
 
 
 @lru_cache(maxsize=64)

@@ -173,13 +173,15 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
     b64 = jax.tree.map(cast64, bounds)
     th64 = jax.tree.map(cast64, theta) if theta is not None else None
     opts64 = options
-    if phase2_ls_speculative is not None:
-        opts64 = options.__class__(**{
-            **options.__dict__,
-            "ls_speculative": phase2_ls_speculative})
-    elif batched:
+    if batched:
         from .autotune import tune
         opts64 = tune(options, int(jnp.shape(s32.k)[0]), jnp.float64)
+    if phase2_ls_speculative is not None:
+        # explicit K beats the table; other tuned knobs (e.g. the
+        # semantics-preserving ls_spec_continue) still apply
+        opts64 = opts64.__class__(**{
+            **opts64.__dict__,
+            "ls_speculative": phase2_ls_speculative})
     if batched:
         s64 = jax.vmap(
             lambda st, bb, tt: promote_state(problem, bb, st, tt, opts64),

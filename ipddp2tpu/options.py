@@ -129,6 +129,16 @@ class Options:
                                         # K > 0 = evaluate gammas 2^-0..2^-(K-1)
                                         # in one batched rollout and pick the
                                         # largest acceptable (TPU fast path)
+    ls_spec_continue: bool = False      # hybrid line search: after the
+                                        # ls_speculative candidates, CONTINUE
+                                        # sequential backtracking from
+                                        # 2^-K instead of failing — semantics
+                                        # identical to pure backtracking
+                                        # (largest acceptable step), wall =
+                                        # one batched K-candidate evaluation
+                                        # in the common case; the lockstep
+                                        # tail loop only runs for instances
+                                        # backtracking below 2^-K
     forward_kernel: str = "auto"        # speculative-LS forward-pass dispatch
                                         # when vmapped (needs ls_speculative
                                         # > 0):

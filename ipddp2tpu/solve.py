@@ -29,7 +29,7 @@ from .derivatives import (DerivativeBundle, contract_dynamics_hessian,
                           evaluate_constraints, evaluate_derivatives,
                           relax_constraints)
 from .forward import (Trial, barrier_lagrangian, forward_pass,
-                      forward_pass_speculative)
+                      forward_pass_hybrid, forward_pass_speculative)
 from .options import Options
 from .problem import Bounds, Problem
 
@@ -376,8 +376,11 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
             j=s.j + 1)
 
     def do_forward(s: SolverState):
-        fw_fn = (forward_pass_speculative if options.ls_speculative > 0
-                 else forward_pass)
+        if options.ls_speculative > 0:
+            fw_fn = (forward_pass_hybrid if options.ls_spec_continue
+                     else forward_pass_speculative)
+        else:
+            fw_fn = forward_pass
         fw = fw_fn(
             problem, theta, bounds, bw.gains, _nominal_trial(s),
             bw.dL, s.mu, s.theta_curr, s.L_curr, s.min_primal_1,

@@ -12,12 +12,15 @@ def test_dispatch_table_pinned():
     # TPU f32, small batch: parallel backward + short speculative LS
     t = tune(o, 8, jnp.float32, backend="tpu")
     assert (t.backward_mode, t.ls_speculative) == ("parallel", 4)
-    # TPU f32, large batch: sequential megakernel path, sequential LS
+    # TPU f32, large batch: megakernel backward + HYBRID line search
+    # (spec-8 + sequential continuation; measured b2048: 23.4 vs 17.3)
     t = tune(o, 1024, jnp.float32, backend="tpu")
-    assert (t.backward_mode, t.ls_speculative) == ("scan", 0)
+    assert (t.backward_mode, t.ls_speculative,
+            t.ls_spec_continue) == ("scan", 8, True)
     # TPU f64 endgame at batch: speculative-8 lanes (measured b1024 optimum)
     t = tune(o, 256, jnp.float64, backend="tpu")
-    assert (t.backward_mode, t.ls_speculative) == ("scan", 8)
+    assert (t.backward_mode, t.ls_speculative,
+            t.ls_spec_continue) == ("scan", 8, True)
     # TPU f64, small batch: reference sequential path
     t = tune(o, 8, jnp.float64, backend="tpu")
     assert (t.backward_mode, t.ls_speculative) == ("scan", 0)

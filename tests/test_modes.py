@@ -53,6 +53,26 @@ def test_speculative_matches_backtracking():
                                rtol=1e-9)
 
 
+def test_hybrid_ls_matches_backtracking():
+    """ls_spec_continue: K speculative candidates + sequential continuation
+    below 2^-K must reach the backtracking optimum (same largest-acceptable
+    -gamma semantics; iterations may drift a couple from vmap-vs-scalar
+    rollout reassociation). K=2 forces the continuation path to actually
+    run — concar backtracks below 1/4 routinely."""
+    theta, f_lim, tau_lim, x1 = concar.seed1_instance()
+    base = Options(optimality_tolerance=1e-7)
+    hyb = Options(optimality_tolerance=1e-7, ls_speculative=2,
+                  ls_spec_continue=True)
+    s1 = solve(concar.problem(), concar.bounds(f_lim, tau_lim), x1,
+               concar.initial_controls(), theta=theta, options=base)
+    s2 = solve(concar.problem(), concar.bounds(f_lim, tau_lim), x1,
+               concar.initial_controls(), theta=theta, options=hyb)
+    assert bool(s1.converged) and bool(s2.converged)
+    np.testing.assert_allclose(float(s2.objective), float(s1.objective),
+                               rtol=1e-8)
+    assert abs(int(s2.iterations) - int(s1.iterations)) <= 5
+
+
 def test_checkpoint_warm_start(tmp_path):
     """Interrupt a solve, checkpoint, reload, resume: must finish like the
     uninterrupted run (warm-start API per SURVEY.md §5)."""
