@@ -322,7 +322,11 @@ def _make_sweep(problem: Problem, options: Options):
         mode = options.backward_kernel
         # auto never overrides an explicit non-LDLT inertia oracle: the
         # kernels count exact-zero pivots, not eigh's atol signs
-        ldl = options.inertia_method == "ldl"
+        # "auto" is resolved per problem at the solve entry points
+        # (solve.resolve_options); a direct backward_pass call with an
+        # unresolved "auto" takes the ldl path, matching its else-branch
+        # in the stage KKT solve above
+        ldl = options.inertia_method in ("ldl", "auto")
         use_pallas = (mode == "pallas"
                       or (mode == "auto" and ldl
                           and mu.dtype == jnp.float32

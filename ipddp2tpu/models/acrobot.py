@@ -131,6 +131,7 @@ def constraints(x, u, t, theta: Theta):
 
 def problem() -> Problem:
     return Problem(T=T, nx=NX, nu=NU, nc=NC, dynamics=dynamics,
+                   contact=True,
                    stage_cost=stage_cost, terminal_cost=terminal_cost,
                    constraints=constraints)
 

@@ -107,8 +107,17 @@ class Options:
     kkt_residual_rtol: float = 1e-6     # backward-stability gate on refined KKT
                                         # solves; failing it triggers the same
                                         # reg-bump escape as wrong inertia
-    inertia_method: str = "ldl"         # "ldl" (fast, diagonal-pivoted +
-                                        #   refinement, the default),
+    inertia_method: str = "auto"        # "auto" (the default) resolves per
+                                        #   problem at the solve entry
+                                        #   points: "bk" when the problem
+                                        #   declares mu-relaxed
+                                        #   complementarity rows (contact
+                                        #   problems — measured: restores
+                                        #   exact acrobot golden parity and
+                                        #   reference-level 98/100 pushing
+                                        #   success), else "ldl";
+                                        # "ldl" (fast, diagonal-pivoted +
+                                        #   refinement),
                                         # "eigh" (oracle: exact inertia), or
                                         # "bk" (reference-faithful rook
                                         #   Bunch-Kaufman diagnostic,

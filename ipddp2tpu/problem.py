@@ -63,6 +63,16 @@ class Problem:
     terminal_cost: Callable             # lT(x, theta) -> scalar
     constraints: Optional[Callable] = None   # c(x, u, t, theta) -> [nc]
     compl_indices: tuple = ()           # constraint rows relaxed by mu
+    contact: bool = False               # declares slack-encoded
+                                        # complementarity / contact structure
+                                        # (the reference benchmarks encode
+                                        # contact as bilinear equality rows
+                                        # with smoothing slacks rather than
+                                        # via indices_compl); steers
+                                        # inertia_method="auto" to the
+                                        # reference-faithful BK oracle,
+                                        # which measures at reference-level
+                                        # success on these landscapes
 
     def __post_init__(self):
         if self.nc > 0 and self.constraints is None:

@@ -129,10 +129,30 @@ def _augment_filter(filter_pts, filter_n, theta_curr, L_curr,
     return filter_pts.at[idx].min(pt), filter_n + 1
 
 
+def resolve_options(options: Options, problem: Problem) -> Options:
+    """Resolve problem-dependent "auto" knobs to concrete values.
+
+    `inertia_method="auto"` -> "bk" (reference-faithful rook Bunch-Kaufman,
+    reference: src/inertia_correction.jl:261) on problems with mu-relaxed
+    complementarity rows (contact problems: measured to restore exact
+    acrobot golden parity and reference-level pushing success), else "ldl"
+    (the fast pivoted-LDLT path the Pallas megakernels implement). Called by
+    every solve entry point; idempotent and cheap (frozen-dataclass replace
+    hashes identically across calls, so no recompile churn)."""
+    import dataclasses
+
+    if options.inertia_method != "auto":
+        return options
+    is_contact = bool(problem.compl_indices) or problem.contact
+    return dataclasses.replace(
+        options, inertia_method="bk" if is_contact else "ldl")
+
+
 def initialize(problem: Problem, theta, bounds: Bounds, x1, u_init,
                options: Options) -> SolverState:
     """Interior projection of the control guess, nominal rollout, dual init
     (reference: src/solver.jl:54-105, src/solve.jl:14-36)."""
+    options = resolve_options(options, problem)
     T, nu = problem.T, problem.nu
     lo, hi = bounds.lower, bounds.upper
     ml, mu_mask = bounds.mask_lower, bounds.mask_upper
@@ -262,6 +282,7 @@ def iteration(problem: Problem, bounds: Bounds, s: SolverState, theta,
     """One outer iteration: derivatives -> backward -> errors -> {converged |
     barrier update | forward + accept}. Pure function of the state; the unit
     the driver compile-checks and the building block of `run`."""
+    options = resolve_options(options, problem)
     tol = options.optimality_tolerance
     num_bounds = bounds.num_bounds
     return _body(problem, bounds, theta, options, tol, num_bounds, s)
@@ -275,6 +296,7 @@ def run(problem: Problem, bounds: Bounds, state: SolverState, theta,
     iteration counter for this call — the chunked-execution hook: resuming
     `run` on the returned state with a higher limit continues the identical
     trajectory."""
+    options = resolve_options(options, problem)
     tol = options.optimality_tolerance
     num_bounds = bounds.num_bounds
     if k_limit is None:

@@ -53,10 +53,9 @@ def test_cartpole_friction_seed1():
 def test_acrobot_contact_seed1():
     from ipddp2tpu.models import acrobot as m
     sol = _run(m, theta=m.seed1_instance())
-    # converges one iteration earlier than the reference to the same optimum
-    # (objective within 2e-5 relative — path differs in the last digits)
-    _check(sol, m.SEED1_GOLDEN_OBJECTIVE, m.SEED1_GOLDEN_ITERATIONS,
-           obj_rtol=1e-4)
+    # exact golden parity (157 iters / objective to 1e-9) under the default
+    # inertia_method="auto" -> "bk" resolution on complementarity problems
+    _check(sol, m.SEED1_GOLDEN_OBJECTIVE, m.SEED1_GOLDEN_ITERATIONS)
 
 
 def test_pushing_seed1():

@@ -125,3 +125,22 @@ def test_interior_projection():
     assert float(jnp.min(s.il)) > 0
     assert float(jnp.min(s.iu)) > 0
     assert bool(jnp.all(jnp.isfinite(s.x)))
+
+
+def test_inertia_method_auto_resolution():
+    """inertia_method="auto" resolves per problem: "bk" on problems that
+    declare complementarity structure (compl_indices or contact=True),
+    "ldl" otherwise — and an explicit setting always wins."""
+    from ipddp2tpu.models import cartpole
+    from ipddp2tpu.solve import resolve_options
+
+    assert resolve_options(Options(), concar.problem()).inertia_method == "ldl"
+    assert resolve_options(Options(),
+                           cartpole.problem()).inertia_method == "bk"
+    explicit = Options(inertia_method="eigh")
+    assert resolve_options(explicit,
+                           cartpole.problem()).inertia_method == "eigh"
+    # hash-stable across calls (jit static-arg cache friendliness)
+    a = resolve_options(Options(), concar.problem())
+    b = resolve_options(Options(), concar.problem())
+    assert hash(a) == hash(b) and a == b
