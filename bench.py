@@ -331,21 +331,34 @@ def main():
             break            # wedged chip: don't burn the ladder
 
     if head is not None:
-        est = head_reps[0]["detail"].get("attempt_wall_s", 300.0) * 1.2 + 20
-        # interleave the success rung with extra headline reps
-        # (S0 H1 S1 H2 ... — noise averages across both configs)
-        for rep in range(n_reps):
-            if success_rung and len(succ_reps) < n_reps \
-                    and budget.remaining() > est:
+        # Warm-cache attempt cost estimate from the measured SOLVE wall
+        # (attempt = warm solve + timed solve + interpreter/cache-load
+        # startup; the first attempt's wall also includes one-time compiles
+        # and would over-gate everything after it). The restart-rescue
+        # success rung re-solves f32 failures from scratch in f64: ~1.7x.
+        solve_wall = head_reps[0]["detail"]["wall_s"]
+        est_head = 2.3 * solve_wall + 90
+        est_succ = 3.6 * solve_wall + 90
+        # priority order: S0 (the success-parity co-headline) first, then
+        # alternate extra headline/success reps while budget lasts
+        plan = []
+        if success_rung:
+            plan.append(("succ", 0, est_succ))
+        for rep in range(1, n_reps):
+            plan.append(("head", rep, est_head))
+            if success_rung:
+                plan.append(("succ", rep, est_succ))
+        for kind, rep, est in plan:
+            if budget.remaining() < est:
+                continue
+            if kind == "succ":
                 sb, sm = success_rung.split(":")
-                # the restart rescue re-solves failures from scratch in
-                # f64: allow ~1.5x the headline wall
                 r = _attempt(budget, sb, sm, tol, rep,
                              attempt_timeout, attempts)
                 if r is not None:
                     succ_reps.append(r)
-            if rep + 1 < n_reps and budget.remaining() > est:
-                r = _attempt(budget, head[0], head[1], tol, rep + 1,
+            else:
+                r = _attempt(budget, head[0], head[1], tol, rep,
                              attempt_timeout, attempts)
                 if r is not None:
                     head_reps.append(r)

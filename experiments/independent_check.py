@@ -126,13 +126,14 @@ def check_instance(name, problem, bounds, theta, x1, u0, ours, maxiter,
     else:
         cold_txt = "(cold start skipped: dense NLP too large)  "
 
+    held = improvement <= gap
     print(f"  {name}: ours={ours_obj:.8e}  {cold_txt}"
           f"warm-start improvement={improvement:.2e} "
-          f"(barrier gap {gap:.0e}; {warm.nit} its, {warm_s:.0f}s)")
-    # our point must be stationary for the independent solver too
-    assert improvement <= gap, \
-        f"{name}: independent solver improved our solution by {improvement}"
-    return basin
+          f"(barrier gap {gap:.0e}; {warm.nit} its, {warm_s:.0f}s)"
+          f"{'' if held else '  ** STATIONARITY VIOLATED **'}")
+    # our point must be stationary for the independent solver too; reported
+    # (not fatal) so a long sharded campaign finishes and tallies failures
+    return basin, held
 
 
 def instances(name, seeds, key=1):
@@ -193,14 +194,14 @@ def main():
             if not bool(sol.converged[i]):
                 print(f"  {name} seed {i + 1}: ours unconverged, skipped")
                 continue
-            basin = check_instance(
+            basin, held = check_instance(
                 f"{name} seed {i + 1}", problem,
                 jax.tree.map(lambda a: a[i], bounds),
                 None if thetas is None else
                 jax.tree.map(lambda a: a[i], thetas),
                 x1s[i], u0s[i], sol.u[i], args.maxiter,
                 cold_start=cold, warm_maxiter=args.warm_maxiter)
-            certs += 1
+            certs += int(held)
             total += 1
             if basin is not None:
                 agree += int(basin[0])

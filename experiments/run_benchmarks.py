@@ -28,14 +28,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("problems", nargs="*",
                     default=["concar", "concar_quad", "cartpole", "acrobot",
-                             "pushing", "double_integrator"])
+                             "pushing", "double_integrator", "quadrotor",
+                             "cartpole_swingup"])
     ap.add_argument("--seeds", type=int, default=100)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tol", type=float, default=1e-7)
-    ap.add_argument("--inertia", default="ldl",
-                    choices=["ldl", "eigh", "bk"],
-                    help="inertia oracle; 'bk' is the reference-faithful "
-                         "Bunch-Kaufman rook diagnostic (ops/bk.py)")
+    ap.add_argument("--inertia", default="auto",
+                    choices=["auto", "ldl", "eigh", "bk"],
+                    help="inertia oracle; 'auto' (default) resolves per "
+                         "problem (bk on contact problems, else ldl); 'bk' "
+                         "is the reference-faithful Bunch-Kaufman rook "
+                         "diagnostic (ops/bk.py)")
     ap.add_argument("--suffix", default="",
                     help="suffix for the results file name")
     args = ap.parse_args()
@@ -49,8 +52,9 @@ def main():
 
     from ipddp2tpu import Options
     from ipddp2tpu.batch import solve_batch
-    from ipddp2tpu.models import (acrobot, cartpole, concar, concar_quad,
-                                  double_integrator, pushing)
+    from ipddp2tpu.models import (acrobot, cartpole, cartpole_swingup,
+                                  concar, concar_quad, double_integrator,
+                                  pushing, quadrotor)
 
     options = Options(optimality_tolerance=args.tol, max_iterations=1000,
                       inertia_method=args.inertia)
@@ -150,6 +154,29 @@ def main():
                  np.asarray(thetas.l2), const[1]]))
             run("acrobot_contact", acrobot.problem(), bounds, x1s, u0s,
                 thetas)
+        elif name == "quadrotor":
+            # random goal + initial position (no reference counterpart;
+            # BASELINE.json config "Batched concar/quadrotor")
+            m = quadrotor
+            keys = jax.random.split(jax.random.PRNGKey(1), n)
+            thetas, x1s = jax.vmap(m.random_instance)(keys)
+            bounds = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (n,) + a.shape), m.bounds())
+            u0s = jnp.broadcast_to(m.initial_controls(), (n, m.T, m.NU))
+            write_params("quadrotor", np.column_stack(
+                [np.asarray(thetas.goal), np.asarray(x1s[:, :3])]))
+            run("quadrotor", m.problem(), bounds, x1s, u0s, thetas)
+        elif name == "cartpole_swingup":
+            # random initial cart position / pole angle (no reference
+            # counterpart; BASELINE.json config "Cartpole swing-up")
+            m = cartpole_swingup
+            keys = jax.random.split(jax.random.PRNGKey(1), n)
+            x1s = jax.vmap(m.random_instance)(keys)
+            bounds = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (n,) + a.shape), m.bounds())
+            u0s = jnp.broadcast_to(m.initial_controls(), (n, m.T, m.NU))
+            write_params("cartpole_swingup", np.asarray(x1s[:, :2]))
+            run("cartpole_swingup", m.problem(), bounds, x1s, u0s, None)
         elif name == "pushing":
             thetas, bounds, x1s, u0s = batched(pushing, False)
             # [zx, zy, c, mu_fric, obstacle (x,y,r)] (reference:

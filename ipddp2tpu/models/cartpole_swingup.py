@@ -14,6 +14,12 @@ import jax.numpy as jnp
 from ..problem import Bounds, Problem, uniform_bounds
 
 NX, NU, NC = 4, 1, 0
+
+# Self-generated regression anchors (no reference counterpart exists for
+# this BASELINE.json config): deterministic default-instance solve at tol
+# 1e-7, f64, CPU, default options (recorded round 4).
+ANCHOR_OBJECTIVE = 0.17506381040839103
+ANCHOR_ITERATIONS = 112
 DT = 0.05
 T = 100
 MC, MP, L, GRAVITY = 1.0, 0.2, 0.5, 9.81
@@ -63,3 +69,18 @@ def initial_state(dtype=jnp.float64):
 
 def initial_controls(dtype=jnp.float64):
     return jnp.full((T, NU), 0.01, dtype)
+
+
+def random_instance(key, dtype=jnp.float64):
+    """Randomized initial state (cart position / pole angle perturbation)
+    for instance batching — the campaign analog of the reference's
+    randomized-seed experiment protocol."""
+    import jax
+
+    k1, k2 = jax.random.split(key)
+    x1 = jnp.zeros((NX,), dtype)
+    x1 = x1.at[0].set(0.5 * jax.random.uniform(k1, dtype=dtype,
+                                               minval=-1.0, maxval=1.0))
+    x1 = x1.at[1].set(0.3 * jax.random.uniform(k2, dtype=dtype,
+                                               minval=-1.0, maxval=1.0))
+    return x1

@@ -20,6 +20,12 @@ import jax.numpy as jnp
 from ..problem import Bounds, Problem, uniform_bounds
 
 NX, NU, NC = 12, 4, 0
+
+# Self-generated regression anchors (no reference counterpart exists for
+# this BASELINE.json config): deterministic default-instance solve at tol
+# 1e-7, f64, CPU, default options (recorded round 4).
+ANCHOR_OBJECTIVE = 0.0029196425180430595
+ANCHOR_ITERATIONS = 24
 DT = 0.05
 T = 100
 MASS, GRAVITY, ARM = 1.0, 9.81, 0.2

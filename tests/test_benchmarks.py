@@ -68,3 +68,19 @@ def test_pushing_seed1():
     np.testing.assert_allclose(float(sol.objective),
                                m.SEED1_GOLDEN_OBJECTIVE, rtol=0.1)
     assert float(sol.primal_inf) < 1e-7
+
+
+def test_quadrotor_anchor():
+    """BASELINE.json config "Batched concar/quadrotor". No reference golden
+    exists; self-generated regression anchor (models/quadrotor.py)."""
+    from ipddp2tpu.models import quadrotor as m
+    sol = _run(m)
+    _check(sol, m.ANCHOR_OBJECTIVE, m.ANCHOR_ITERATIONS)
+
+
+def test_cartpole_swingup_anchor():
+    """BASELINE.json config "Cartpole swing-up, N=100, control bounds only".
+    Self-generated regression anchor (models/cartpole_swingup.py)."""
+    from ipddp2tpu.models import cartpole_swingup as m
+    sol = _run(m)
+    _check(sol, m.ANCHOR_OBJECTIVE, m.ANCHOR_ITERATIONS)
