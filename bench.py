@@ -15,19 +15,28 @@ Two rungs are certified in every run:
     reference-level success, not only on a throughput metric that discounts
     abandonment. Reported in detail.frontier.
 
-Budget discipline (round-4, after BENCH_r03 timed out): the whole run lives
-under BENCH_TOTAL_BUDGET seconds (default 1020).  SIGTERM/SIGINT/SIGALRM all
-emit the best-so-far JSON line before exiting, so an outer `timeout` still
-captures a certified partial result instead of nothing.  Reps are adaptive:
-after the first successful attempt its wall time is used to decide how many
-more attempts fit.  Each attempt is isolated in a subprocess so a TPU-worker
-crash or compile hang only costs that attempt.
+Budget discipline (round 4, after BENCH_r03 timed out): the whole run lives
+under BENCH_TOTAL_BUDGET seconds (default 1500). SIGTERM/SIGINT/SIGALRM all
+emit the best-so-far JSON line before exiting, so an outer `timeout`
+shorter than the budget still captures a certified partial result instead
+of nothing.
 
-Env knobs: BENCH_TOL (1e-7), BENCH_TOTAL_BUDGET seconds (1020),
-BENCH_ATTEMPT_TIMEOUT seconds (600), BENCH_REPS (2, per rung, budget
-permitting), BENCH_LADDER like "2048:mixed,512:mixed,8:f64",
-BENCH_SUCCESS ("2048:mixedr"; "" disables the success rung),
-BENCH_DEVICE_WAIT seconds (300).
+Process layout (round 4, after per-attempt subprocess isolation proved to
+cost ~400 s of interpreter + compile-cache-load PER ATTEMPT): ONE worker
+subprocess executes the whole measurement plan — an unreported warm solve,
+then alternating headline / success-rung reps on fresh instance sets —
+streaming one JSON line per completed solve. The parent collects lines as
+they arrive, so a TPU-worker crash or kill mid-plan only loses the rep in
+flight. A ladder of fallback configurations engages only if the primary
+rung produced nothing.
+
+Env knobs: BENCH_TOL (1e-7), BENCH_TOTAL_BUDGET seconds (1500),
+BENCH_FIRST_TIMEOUT seconds (800, deadline for the worker's first line),
+BENCH_REPS (2, per rung), BENCH_LADDER like "2048:mixed,512:mixed,8:f64"
+(first entry is the primary rung; suffix "r" on a mode = restart-rescue),
+BENCH_SUCCESS ("mixedr"; "" disables the success rung),
+BENCH_DEVICE_WAIT seconds (900 — a wedged relay takes 20-40 min to
+recover; polling is cheaper than doomed attempts).
 """
 
 import json
@@ -35,15 +44,21 @@ import os
 import signal
 import subprocess
 import sys
+import tempfile
+import threading
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REFERENCE_MEDIAN_WALL_S = 0.1214  # BASELINE.md concar IPDDP2 median
 
 
-def worker(batch: int, mode: str, tol: float, seed: int = 0):
+def worker(batch: int, plan: str, tol: float, seed0: int = 0):
+    """Execute `plan` (comma list of modes; "warm" = unreported headline-
+    config solve) on fresh instance sets, one JSON line per solve."""
     import jax
 
+    if os.environ.get("BENCH_CPU"):      # off-chip smoke path for CI/tests
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     # TPU matmuls default to bf16 passes; the f32 phase of the mixed solver
     # needs true f32 accumulation to reach its 3e-4 tolerance
@@ -75,111 +90,98 @@ def worker(batch: int, mode: str, tol: float, seed: int = 0):
     # executions, so the solve is chunked and resumed from state on the host
     chunk = int(os.environ.get("BENCH_CHUNK", "40"))
 
-    def make(seed, dtype=None):
+    def make(seed):
         keys = jax.random.split(jax.random.PRNGKey(seed), batch)
         thetas, f_lims, tau_lims, x1s = jax.vmap(
             concar.random_instance)(keys)
         u0 = jnp.broadcast_to(concar.initial_controls(),
                               (batch, concar.T, concar.NU))
-        args = (concar.bounds(f_lims, tau_lims), x1s, u0, thetas)
-        if dtype is not None:
-            cast = lambda a: (a.astype(dtype) if jnp.issubdtype(
-                a.dtype, jnp.floating) else a)
-            args = jax.tree.map(cast, args)
-        return args
+        return (concar.bounds(f_lims, tau_lims), x1s, u0, thetas)
 
     from ipddp2tpu.chunked import solve_chunked
     from ipddp2tpu.mixed import solve_mixed_chunked
 
-    rescue_mode = False
-    if mode.endswith("r"):              # success-parity rung
-        mode = mode[:-1]
-        rescue_mode = "restart"
-
-    if mode == "mixed":
-        # Phase budgets (measured, docs/PERF.md): normal endgames take 6-25
-        # f64 iterations; an f32-FAILED instance otherwise triggers a
-        # hundreds-of-iterations f64 rescue that costs more wall than the
-        # rest of the batch (one observed rescue: 509 f64 iters = 271 s).
-        # Throughput-optimal: bound the rescue, let hopeless instances fail.
-        p1_max = int(os.environ.get("BENCH_P1MAX", "0")) or None
-        p2_max = int(os.environ.get("BENCH_P2MAX", "40"))
-
-        rescue = (rescue_mode
-                  or bool(int(os.environ.get("BENCH_RESCUE", "0"))))
-        p2_spec = int(os.environ.get("BENCH_P2SPEC", "8"))
-        # freeze f32-stalled instances (no mu / KKT progress) instead of
-        # letting them stretch the lockstep batch to the iteration cap
-        stall = int(os.environ.get("BENCH_STALL", "0")) or None
-        # endgame batch compaction: the f64 phase is compute-bound, so
-        # converged lockstep lanes pay full price; gather the still-running
-        # tail into smaller batches at phase-2 chunk boundaries.
-        # BENCH_P2COMPACT: "0" off, "1" = {B/2, B/4, B/8, B/16} rungs,
-        # or an explicit comma list like "512,128".
-        p2c_env = os.environ.get("BENCH_P2COMPACT", "1")
-        if p2c_env == "0":
-            p2_compact = False
-        elif p2c_env == "1":
-            p2_compact = tuple(s for s in (batch // 2, batch // 4,
-                                           batch // 8, batch // 16)
-                               if s >= 64) or False
-        else:
-            p2_compact = tuple(int(s) for s in p2c_env.split(","))
-        p2_chunk = int(os.environ.get("BENCH_P2CHUNK", "8"))
-
-        def run(b, x, u, th):
-            return solve_mixed_chunked(problem, b, x, u, theta=th,
-                                       options=options, chunk=chunk,
-                                       phase1_max_iterations=p1_max,
-                                       phase2_max_iterations=p2_max,
-                                       phase2_ls_speculative=p2_spec or None,
-                                       phase1_stall_window=stall,
-                                       rescue_failed=rescue,
-                                       phase2_chunk=p2_chunk,
-                                       phase2_compact=p2_compact,
-                                       batched=True)
+    # Phase budgets (measured, docs/PERF.md): normal endgames take 6-25
+    # f64 iterations; an f32-FAILED instance otherwise triggers a
+    # hundreds-of-iterations f64 rescue that costs more wall than the
+    # rest of the batch. Headline: bound the rescue, let hopeless
+    # instances fail. Success rung: re-solve them from scratch in f64 as
+    # a compacted batch (rescue_failed="restart").
+    p1_max = int(os.environ.get("BENCH_P1MAX", "0")) or None
+    p2_max = int(os.environ.get("BENCH_P2MAX", "40"))
+    p2_spec = int(os.environ.get("BENCH_P2SPEC", "8"))
+    stall = int(os.environ.get("BENCH_STALL", "0")) or None
+    # endgame batch compaction: the f64 phase is compute-bound, so
+    # converged lockstep lanes pay full price; gather the still-running
+    # tail into smaller batches at phase-2 chunk boundaries.
+    # BENCH_P2COMPACT: "0" off, "1" = {B/2, B/4, B/8, B/16} rungs,
+    # or an explicit comma list like "512,128".
+    p2c_env = os.environ.get("BENCH_P2COMPACT", "1")
+    if p2c_env == "0":
+        p2_compact = False
+    elif p2c_env == "1":
+        p2_compact = tuple(s for s in (batch // 2, batch // 4,
+                                       batch // 8, batch // 16)
+                           if s >= 64) or False
     else:
-        def run(b, x, u, th):
-            return solve_chunked(problem, b, x, u, theta=th,
-                                 options=options, chunk=chunk, batched=True)
+        p2_compact = tuple(int(s) for s in p2c_env.split(","))
+    p2_chunk = int(os.environ.get("BENCH_P2CHUNK", "8"))
 
-    # warm-up/compile on a different instance set (execution layers may
-    # memoize identical runs; async backends only block on host reads).
-    # BENCH_WARM=0 skips it when the caller knows every program is already
-    # in the persistent cache AND cache-load latency is acceptable in-wall.
-    if os.environ.get("BENCH_WARM", "1") != "0":
-        warm = make(1)
-        sol = run(*warm)
-        np.asarray(sol.converged)
+    def run(mode, args):
+        if mode == "f64":
+            return solve_chunked(problem, *args, options=options,
+                                 chunk=chunk, batched=True)
+        rescue = "restart" if mode == "mixedr" else bool(
+            int(os.environ.get("BENCH_RESCUE", "0")))
+        b, x, u, th = args
+        return solve_mixed_chunked(problem, b, x, u, theta=th,
+                                   options=options, chunk=chunk,
+                                   phase1_max_iterations=p1_max,
+                                   phase2_max_iterations=p2_max,
+                                   phase2_ls_speculative=p2_spec or None,
+                                   phase1_stall_window=stall,
+                                   rescue_failed=rescue,
+                                   phase2_chunk=p2_chunk,
+                                   phase2_compact=p2_compact,
+                                   batched=True)
 
-    args = make(1000 + seed)
-    t0 = time.time()
-    sol = run(*args)
-    np.asarray(sol.converged)
-    wall = time.time() - t0
-
-    stats = batch_stats(sol)
-    solved = int(stats.num_converged)
-    print(json.dumps({
-        "value": solved / wall,
-        "detail": {
-            "batch": batch, "mode": mode, "solved": solved,
-            "seed": seed, "rescue": rescue_mode or None,
-            "wall_s": round(wall, 3), "tol": tol,
-            "p2_compact": (list(p2_compact) if mode == "mixed"
-                           and p2_compact else None),
-            "median_iterations": float(stats.median_iterations),
-            "max_iterations": int(stats.max_iterations),
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    modes = plan.split(",")
+    for i, mode in enumerate(modes):
+        warm = mode == "warm"
+        if warm:
+            # the warm solve compiles/loads every program of the plan's
+            # first reported mode; it is streamed (liveness signal for the
+            # parent) but excluded from the reported stats
+            run_mode = modes[i + 1] if i + 1 < len(modes) else "mixed"
+        else:
+            run_mode = mode
+        seed = seed0 + 1000 + i
+        args = make(seed)
+        t0 = time.time()
+        sol = run(run_mode, args)
+        np.asarray(sol.converged)   # only host reads block on this backend
+        wall = time.time() - t0
+        stats = batch_stats(sol)
+        solved = int(stats.num_converged)
+        print(json.dumps({
+            "value": solved / wall,
+            "warm": warm,
+            "detail": {
+                "batch": batch, "mode": run_mode, "solved": solved,
+                "seed": seed, "rep": i, "warm": warm,
+                "wall_s": round(wall, 3), "tol": tol,
+                "median_iterations": float(stats.median_iterations),
+                "max_iterations": int(stats.max_iterations),
+                "device": str(jax.devices()[0]),
+            },
+        }), flush=True)
 
 
 class _Budget:
     """Wall-clock budget with signal-driven partial emission.
 
     All of SIGTERM (outer `timeout`), SIGINT, and SIGALRM (our own hard
-    stop) kill the in-flight attempt subprocess, emit the best-so-far JSON
+    stop) kill the in-flight worker subprocess, emit the best-so-far JSON
     line, and exit 0 — a result always reaches stdout.
     """
 
@@ -206,35 +208,55 @@ class _Budget:
         os._exit(0)
 
 
-def _attempt(budget: "_Budget", batch_s: str, mode: str, tol: float,
-             seed: int, timeout: float, attempts: list):
-    """One isolated worker run; returns the parsed result or None."""
-    timeout = min(timeout, max(10.0, budget.remaining() - 15.0))
-    t0 = time.time()
+def _run_plan(budget: "_Budget", batch_s: str, plan: list, tol: float,
+              seed0: int, first_timeout: float, on_line, attempts: list):
+    """One worker subprocess executing `plan`; parsed JSON lines stream to
+    `on_line` as each solve completes. Returns the number of lines seen."""
+    err_f = tempfile.NamedTemporaryFile(mode="w+", suffix=".benchlog",
+                                        delete=False)
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker",
-         batch_s, mode, str(tol), str(seed)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=HERE)
+         batch_s, ",".join(plan), str(tol), str(seed0)],
+        stdout=subprocess.PIPE, stderr=err_f, text=True, cwd=HERE)
     budget.child = proc
-    try:
-        out, err = proc.communicate(timeout=timeout)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        proc.communicate()
-        attempts.append({"batch": int(batch_s), "mode": mode, "seed": seed,
-                         "error": f"timeout {round(timeout)}s"})
-        budget.child = None
-        return None
+    n_lines = [0]
+
+    def reader():
+        for ln in proc.stdout:
+            ln = ln.strip()
+            if not ln.startswith("{"):
+                continue
+            try:
+                d = json.loads(ln)
+            except ValueError:
+                continue
+            n_lines[0] += 1
+            on_line(d)
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    first_deadline = time.time() + min(first_timeout,
+                                       max(10.0, budget.remaining() - 60))
+    while proc.poll() is None:
+        if budget.remaining() < 45:
+            proc.kill()
+            break
+        if n_lines[0] == 0 and time.time() > first_deadline:
+            proc.kill()
+            attempts.append({"batch": int(batch_s), "plan": plan,
+                             "error": "no first line before deadline"})
+            break
+        time.sleep(2)
+    proc.wait()
+    th.join(timeout=10)
     budget.child = None
-    line = [l for l in out.strip().splitlines() if l.startswith("{")]
-    if proc.returncode == 0 and line:
-        res = json.loads(line[-1])
-        res["detail"]["attempt_wall_s"] = round(time.time() - t0, 1)
-        attempts.append(res["detail"])
-        return res
-    attempts.append({"batch": int(batch_s), "mode": mode, "seed": seed,
-                     "error": (err or "")[-200:]})
-    return None
+    if proc.returncode not in (0, -9) and n_lines[0] == 0:
+        err_f.seek(0)
+        attempts.append({"batch": int(batch_s), "plan": plan,
+                         "error": err_f.read()[-200:]})
+    err_f.close()
+    os.unlink(err_f.name)
+    return n_lines[0]
 
 
 def _median_rep(reps):
@@ -252,7 +274,10 @@ def _probe_device(budget: "_Budget", wait_s: float) -> bool:
              "np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8))); "
              "print('ok')")
     deadline = time.time() + wait_s
-    while time.time() < deadline and budget.remaining() > 240:
+    # a wedged relay takes 20-40 min to recover and attempts without a
+    # device are pure waste: poll as long as one full plan (~700 s) still
+    # fits in the remaining budget
+    while time.time() < deadline and budget.remaining() > 700:
         try:
             out = subprocess.run([sys.executable, "-c", probe],
                                  capture_output=True, text=True, timeout=90)
@@ -266,12 +291,12 @@ def _probe_device(budget: "_Budget", wait_s: float) -> bool:
 
 def main():
     tol = float(os.environ.get("BENCH_TOL", "1e-7"))
-    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "600"))
+    first_timeout = float(os.environ.get("BENCH_FIRST_TIMEOUT", "800"))
     n_reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
-    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1020"))
-    ladder = os.environ.get(
-        "BENCH_LADDER", "2048:mixed,1024:mixed,512:mixed,8:f64")
-    success_rung = os.environ.get("BENCH_SUCCESS", "2048:mixedr")
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1500"))
+    ladder = os.environ.get("BENCH_LADDER",
+                            "2048:mixed,1024:mixed,512:mixed,8:f64")
+    success_mode = os.environ.get("BENCH_SUCCESS", "mixedr")
 
     attempts = []
     head_reps = []
@@ -282,14 +307,18 @@ def main():
         if emitted:          # idempotent: signal during final print
             return
         emitted.append(True)
+        # drop the first success rep when >=2 arrived: it carries the
+        # rescue path's incremental compile-load (the headline's analog is
+        # the unreported warm solve)
+        succ = succ_reps[1:] if len(succ_reps) >= 2 else succ_reps
         baseline = 1.0 / REFERENCE_MEDIAN_WALL_S
         best = _median_rep(head_reps) if head_reps else None
         value = best["value"] if best else 0.0
-        succ = _median_rep(succ_reps) if succ_reps else None
+        sbest = _median_rep(succ) if succ else None
         frontier = {
             "throughput_max": best["detail"] if best else None,
-            "success_max": succ["detail"] if succ else None,
-            "success_max_ocps_per_s": (round(succ["value"], 3) if succ
+            "success_max": sbest["detail"] if sbest else None,
+            "success_max_ocps_per_s": (round(sbest["value"], 3) if sbest
                                        else None),
         }
         print(json.dumps({
@@ -310,58 +339,34 @@ def main():
     budget = _Budget(total_budget, emit)
 
     device_ok = _probe_device(
-        budget, float(os.environ.get("BENCH_DEVICE_WAIT", "300")))
+        budget, float(os.environ.get("BENCH_DEVICE_WAIT", "900")))
     if not device_ok:
         attempts.append({"error": "device probe never succeeded; "
-                                  "attempting anyway with short timeout"})
+                                  "attempting anyway"})
 
-    # find the working headline rung (rep 0 doubles as its first sample)
-    head = None
+    def on_line(d):
+        attempts.append(d["detail"])
+        if d.get("warm"):
+            return
+        mode = d["detail"]["mode"]
+        (succ_reps if mode.endswith("r") else head_reps).append(d)
+
     for item in ladder.split(","):
-        if budget.remaining() < 120:
+        if budget.remaining() < 180:
             break
         batch_s, mode = item.split(":")
-        tmo = attempt_timeout if device_ok else min(attempt_timeout, 300)
-        res = _attempt(budget, batch_s, mode, tol, 0, tmo, attempts)
-        if res is not None and res["value"] > 0:
-            head = (batch_s, mode)
-            head_reps.append(res)
-            break
-        if not device_ok:
-            break            # wedged chip: don't burn the ladder
-
-    if head is not None:
-        # Warm-cache attempt cost estimate from the measured SOLVE wall
-        # (attempt = warm solve + timed solve + interpreter/cache-load
-        # startup; the first attempt's wall also includes one-time compiles
-        # and would over-gate everything after it). The restart-rescue
-        # success rung re-solves f32 failures from scratch in f64: ~1.7x.
-        solve_wall = head_reps[0]["detail"]["wall_s"]
-        est_head = 2.3 * solve_wall + 90
-        est_succ = 3.6 * solve_wall + 90
-        # priority order: S0 (the success-parity co-headline) first, then
-        # alternate extra headline/success reps while budget lasts
-        plan = []
-        if success_rung:
-            plan.append(("succ", 0, est_succ))
-        for rep in range(1, n_reps):
-            plan.append(("head", rep, est_head))
-            if success_rung:
-                plan.append(("succ", rep, est_succ))
-        for kind, rep, est in plan:
-            if budget.remaining() < est:
-                continue
-            if kind == "succ":
-                sb, sm = success_rung.split(":")
-                r = _attempt(budget, sb, sm, tol, rep,
-                             attempt_timeout, attempts)
-                if r is not None:
-                    succ_reps.append(r)
-            else:
-                r = _attempt(budget, head[0], head[1], tol, rep,
-                             attempt_timeout, attempts)
-                if r is not None:
-                    head_reps.append(r)
+        plan = ["warm"]
+        for rep in range(n_reps):
+            plan.append(mode)
+            if success_mode and mode.startswith("mixed"):
+                plan.append(success_mode)
+        # even when the probe failed, give the attempt the full first-line
+        # window (the worker's own claim can succeed where a probe
+        # subprocess raced the recovery) — the budget still bounds it
+        ft = first_timeout
+        _run_plan(budget, batch_s, plan, tol, 0, ft, on_line, attempts)
+        if head_reps:
+            break            # primary (or fallback) rung delivered
 
     signal.alarm(0)
     emit()
