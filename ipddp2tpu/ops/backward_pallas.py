@@ -14,8 +14,8 @@ src/backward_pass.jl:58-189) with
     stream HBM->VMEM through the automatic Pallas pipeline (double-buffered);
   * batch-on-lanes layout [stage-dims..., B]: every arithmetic op in the
     stage math and the factorization is a full-width vector op across problem
-    instances (the same layout as `ldlt_pallas.py`, whose implicit one-hot
-    diagonal pivoting + refinement + inertia logic is inlined here);
+    instances (implicit one-hot diagonal pivoting + refinement + inertia logic,
+    the lanes twin of `ops/ldlt.py`);
   * the full per-stage pipeline — Sigma terms, Qu/C/H/B assembly
     (reference: src/backward_pass.jl:62-99), second-order terms, KKT
     factor+inertia+solve (reference: src/inertia_correction.jl:257-276),

@@ -27,7 +27,8 @@ LDL^T:
 The factorization loops over m columns with full-width masked rank-1 updates:
 under `vmap` over (batch [, time]) every arithmetic op is a large elementwise
 VPU op over the batch lanes, which is how this maps to the hardware. A fused
-Pallas kernel for the f32 fast path lives in `ldlt_pallas.py`.
+The fused Pallas megakernels (`backward_pallas*.py`) inline this
+factorization logic batch-on-lanes for the TPU fast paths.
 """
 
 from __future__ import annotations

@@ -82,9 +82,6 @@ class Options:
                                         # reference loops until reg > reg_max which
                                         # takes <= ~56 bumps from reg_1 with x8 steps
     refine_steps: int = 1               # iterative refinement sweeps on KKT solves
-    use_pallas_kkt: bool = False        # fused Pallas batched LDLT kernel for
-                                        # the parallel backward mode's stage
-                                        # KKT solves (f32 on TPU only)
     backward_mode: str = "scan"         # "scan" (sequential lax.scan, matches
                                         # the reference) or "parallel"
                                         # (associative-scan Riccati: O(log T)

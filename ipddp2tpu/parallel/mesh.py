@@ -93,8 +93,7 @@ def solve_sharded(problem: Problem, bounds: Bounds, x1: Array, u_init: Array,
     # (the kernels propagate input vma into their out_shapes).
     interp_pallas = (options.backward_kernel in ("pallas", "pallas_df64")
                      or options.forward_kernel in ("pallas", "pallas_df64")
-                     or options.use_pallas_kkt) and (
-                         jax.default_backend() != "tpu")
+                     ) and jax.default_backend() != "tpu"
     fn = jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                                out_specs=out_specs,
                                check_vma=not interp_pallas))

@@ -212,31 +212,7 @@ def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
         return K, rhs, Qu, sig_l, sig_u, sl, su
 
     def batched_kkt_solve(K, rhs):
-        """[T, m, m] systems -> (X, ok, singular). XLA vmapped LDLT by
-        default; the fused Pallas kernel when enabled (f32 on TPU)."""
-        if options.use_pallas_kkt and dtype == jnp.float32:
-            from ..ops.ldlt_pallas import TILE_B, ldlt_solve_batched_pallas
-
-            Tpad = ((T + TILE_B - 1) // TILE_B) * TILE_B
-            m = K.shape[-1]
-            eye = jnp.broadcast_to(jnp.eye(m, dtype=dtype),
-                                   (Tpad - T, m, m))
-            Kp = jnp.concatenate([K, eye], axis=0)
-            rp = jnp.concatenate(
-                [rhs, jnp.zeros((Tpad - T,) + rhs.shape[1:], dtype)], axis=0)
-            X, n_pos, okp = ldlt_solve_batched_pallas(
-                Kp, rp, refine=options.refine_steps)
-            # residual gate (vectorized, outside the kernel)
-            r = rp - jnp.einsum("tij,tjk->tik", Kp, X)
-            scale = (jnp.linalg.norm(Kp, axis=(1, 2))
-                     * jnp.linalg.norm(X, axis=(1, 2))
-                     + jnp.linalg.norm(rp, axis=(1, 2)))
-            res_ok = (jnp.linalg.norm(r, axis=(1, 2))
-                      <= options.kkt_residual_rtol * scale)
-            ok = okp & (n_pos == nu) & res_ok
-            singular = ~okp
-            return X[:T], ok[:T], singular[:T]
-
+        """[T, m, m] systems -> (X, ok, singular), XLA vmapped LDLT."""
         def one(K_t, rhs_t):
             factors = ldlt_factor_pivoted(K_t, unroll=options.ldlt_unroll)
             X, solve_ok = ldlt_solve_refined(

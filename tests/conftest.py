@@ -21,3 +21,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled XLA executables after each test module.
+
+    A long-lived worker accumulates XLA:CPU JIT executable memory until a
+    late large compile (8-device shard_map programs, solver while_loops)
+    segfaults the process — the round-2/3 "worker crash" mode that xdist
+    can only paper over by restarting the worker (the in-flight test still
+    reports FAILED). Dropping the jit caches between modules bounds the
+    accumulation; cross-module cache reuse is negligible."""
+    yield
+    jax.clear_caches()

@@ -73,6 +73,7 @@ def run_backward(problem, inputs, mu, options):
 
 
 @pytest.mark.parametrize("nc", [2, 0])
+@pytest.mark.kernels
 def test_megakernel_matches_scan(nc):
     problem = tiny_problem(nc=nc)
     inputs = random_inputs(problem, jax.random.PRNGKey(0), 4, jnp.float64)
@@ -113,6 +114,7 @@ def test_megakernel_restart_ladder_parity():
                                    rtol=1e-8, atol=1e-10, err_msg=name)
 
 
+@pytest.mark.kernels
 def test_megakernel_in_solver():
     """Full batched solve with the megakernel matches the scan solver."""
     from ipddp2tpu.batch import solve_batch

@@ -24,6 +24,7 @@ from test_backward_pallas import random_inputs, run_backward, tiny_problem
 # show at >= 1e-5 under the same conditioning, so the bound still bites).
 @pytest.mark.parametrize("nc,rtol,atol", [(2, 3e-13, 1e-13),
                                           (0, 1e-7, 1e-9)])
+@pytest.mark.kernels
 def test_df64_matches_f64_scan(nc, rtol, atol):
     problem = tiny_problem(nc=nc)
     inputs = random_inputs(problem, jax.random.PRNGKey(0), 4, jnp.float64)

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 from ipddp2tpu import Options, solve
 from ipddp2tpu.models import cartpole_swingup as cs
 from ipddp2tpu.models import quadrotor as qr
+import pytest
 
 
 def test_cartpole_swingup_converges():
@@ -30,6 +31,7 @@ def test_quadrotor_converges():
     assert float(jnp.min(sol.u)) >= -1e-9
 
 
+@pytest.mark.slow
 def test_quadrotor_batched_instances():
     """BASELINE.json config 'Batched concar/quadrotor: vmapped instances over
     initial states per chip' — batch over randomized goals/starts."""

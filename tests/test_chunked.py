@@ -7,6 +7,7 @@ import numpy as np
 from ipddp2tpu import Options, solve
 from ipddp2tpu.chunked import solve_chunked
 from ipddp2tpu.models import concar, double_integrator as di
+import pytest
 
 
 def test_chunked_matches_single():
@@ -21,6 +22,7 @@ def test_chunked_matches_single():
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_chunked_batched():
     opts = Options(optimality_tolerance=1e-6, max_iterations=600)
     n = 3
@@ -64,6 +66,7 @@ def test_run_chunked_heterogeneous_progress():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_compaction_matches_lockstep():
     """Batch compaction (gather still-running instances into a smaller
     batch at chunk boundaries) must preserve every instance's result vs the

@@ -111,6 +111,7 @@ def _assert_result_parity(ref, got, tol):
 
 
 @pytest.mark.parametrize("dtype", ["f64", "f32"])
+@pytest.mark.kernels
 def test_speculative_kernel_matches_xla_concar(dtype):
     prob = _short(concar)
     opts = Options(optimality_tolerance=1e-7, backward_kernel="xla",
@@ -138,6 +139,7 @@ def test_speculative_kernel_matches_xla_concar(dtype):
     _assert_result_parity(ref, got, tol=1e-4 if dtype == "f32" else 1e-5)
 
 
+@pytest.mark.kernels
 def test_speculative_kernel_matches_xla_no_theta():
     """theta=None problem (double integrator) through the kernel path."""
     prob = _short(di)
@@ -156,6 +158,7 @@ def test_speculative_kernel_matches_xla_no_theta():
 
 
 @pytest.mark.parametrize("spec", [8, 0])
+@pytest.mark.kernels
 def test_full_solve_with_forward_kernel(spec):
     """End-to-end solve with the forward kernel forced ON (interpret mode)
     must certify the same optimum as the pure XLA path — BOTH line-search

@@ -5,6 +5,7 @@ import numpy as np
 from ipddp2tpu import Options
 from ipddp2tpu.mixed import solve_mixed
 from ipddp2tpu.models import concar, double_integrator as di
+import pytest
 
 
 def test_mixed_double_integrator():
@@ -32,6 +33,7 @@ def test_mixed_concar():
     assert int(sol.iterations) < 130, int(sol.iterations)
 
 
+@pytest.mark.slow
 def test_mixed_chunked_phase2_compaction():
     """Endgame compaction (the TPU bench's f64-phase batch shrinking) must
     certify the same instances to the same optima as the lockstep endgame."""
@@ -65,6 +67,7 @@ def test_mixed_chunked_phase2_compaction():
     assert float(np.max(np.asarray(comp.dual_inf)[conv])) < 1e-7
 
 
+@pytest.mark.slow
 def test_mixed_chunked_restart_rescue():
     """rescue_failed="restart" must recover f32-stalled instances by
     re-solving them from scratch in pure f64 as a compacted batch — the

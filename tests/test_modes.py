@@ -11,6 +11,7 @@ from ipddp2tpu import Options, solve
 from ipddp2tpu.models import concar, double_integrator as di
 from ipddp2tpu.solve import initialize, run
 from ipddp2tpu.utils import load_state, save_state
+import pytest
 
 
 def test_quasi_newton():
@@ -122,6 +123,7 @@ def test_verbose_prints_table(capfd):
     assert bool(sol.converged)
 
 
+@pytest.mark.slow
 def test_ls_failure_resets_preserves_golden():
     """The rescue option must not change trajectories that never fail the
     line search (reference-equivalence when unused)."""

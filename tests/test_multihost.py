@@ -26,6 +26,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_parity():
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"

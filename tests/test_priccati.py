@@ -13,6 +13,7 @@ from ipddp2tpu.options import Options
 from ipddp2tpu.parallel.priccati import (_stage_blocks, costate_scan,
                                          parallel_value_scan)
 from ipddp2tpu.solve import initialize
+import pytest
 
 
 def _sequential_values(problem, deriv, nominal, mu, lam, reg=0.0, delta_c=0.0):
@@ -133,6 +134,7 @@ def test_parallel_matches_sequential_double_integrator():
     _check(di, None, di.bounds(), di.initial_state(), di.initial_controls())
 
 
+@pytest.mark.slow
 def test_parallel_matches_sequential_concar():
     theta, f_lim, tau_lim, x1 = concar.seed1_instance()
     _check(concar, theta, concar.bounds(f_lim, tau_lim), x1,

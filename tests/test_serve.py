@@ -8,10 +8,12 @@ import numpy as np
 from ipddp2tpu import Options, solve
 from ipddp2tpu.models import concar
 from ipddp2tpu.serve import solve_pool
+import pytest
 
 OPTS = Options(optimality_tolerance=1e-6, max_iterations=600)
 
 
+@pytest.mark.slow
 def test_pool_solves_all():
     n, slots = 6, 2
     keys = jax.random.split(jax.random.PRNGKey(9), n)
@@ -36,6 +38,7 @@ def test_pool_solves_all():
     assert int(sol.iterations[3]) == int(one.iterations)
 
 
+@pytest.mark.slow
 def test_pool_at_scale_occupancy():
     """Bench-scale pool run (VERDICT round-1 weak #3): 72 instances through
     16 slots. Every instance solves to its standalone result, and slot

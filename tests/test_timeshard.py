@@ -16,6 +16,7 @@ from ipddp2tpu.derivatives import (contract_dynamics_hessian,
 from ipddp2tpu.parallel.priccati import (_stage_blocks, parallel_value_scan)
 from ipddp2tpu.parallel.timeshard import value_scan_timesharded
 from ipddp2tpu.problem import Problem
+import pytest
 
 
 def _problem(T):
@@ -75,6 +76,7 @@ def test_timesharded_value_scan_matches_single_device():
                                rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_solve_timesharded_long_horizon():
     """End-to-end backward_mode="timeshard": a T=1024 long-horizon solve with
     the value scan sharded over the 8-device mesh must follow the same
