@@ -110,28 +110,32 @@ def _costate_seq_single(fx, r_x, lam_T):
     return jnp.concatenate([lam, lam_T[None]], axis=0)       # [T+1, nx]
 
 
-_costate_seq = custom_vmap(_costate_seq_single)
-
-
-@_costate_seq.def_vmap
-def _costate_seq_vmap(axis_size, in_batched, fx, r_x, lam_T):
+@lru_cache(maxsize=4)
+def _make_costate_seq(use_kernel: bool):
     """Batched seq costate: ONE Pallas sweep on TPU (the T-stage scan is a
     dispatch chain — measured 4.8 ms f32 / 9.8 ms df64-emulated per
     batch-iteration at b1024 for microseconds of arithmetic); vmapped scan
     elsewhere (CPU keeps bit-stable golden iterate paths)."""
-    bc = lambda x, b: (x if b else
-                       jnp.broadcast_to(x[None], (axis_size,) + jnp.shape(x)))
-    fx, r_x, lam_T = jax.tree.map(bc, [fx, r_x, lam_T], in_batched)
-    if jax.default_backend() == "tpu":
-        from .ops.costate_pallas import costate_sweep_pallas
-        out = costate_sweep_pallas(fx, r_x, lam_T, nx=fx.shape[-1],
-                                   dd_mode=fx.dtype == jnp.float64)
-    else:
-        out = jax.vmap(_costate_seq_single)(fx, r_x, lam_T)
-    return out, True
+    fn = custom_vmap(_costate_seq_single)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, fx, r_x, lam_T):
+        bc = lambda x, b: (x if b else jnp.broadcast_to(
+            x[None], (axis_size,) + jnp.shape(x)))
+        fx, r_x, lam_T = jax.tree.map(bc, [fx, r_x, lam_T], in_batched)
+        if use_kernel and jax.default_backend() == "tpu":
+            from .ops.costate_pallas import costate_sweep_pallas
+            out = costate_sweep_pallas(fx, r_x, lam_T, nx=fx.shape[-1],
+                                       dd_mode=fx.dtype == jnp.float64)
+        else:
+            out = jax.vmap(_costate_seq_single)(fx, r_x, lam_T)
+        return out, True
+
+    return fn
 
 
-def costate_scan(deriv: DerivativeBundle, phi, mode: str = "auto"):
+def costate_scan(deriv: DerivativeBundle, phi, mode: str = "auto",
+                 kernel: str = "auto"):
     """Costate refresh lam_t = r_x + fx' lam_{t+1} (reference:
     src/backward_pass.jl:183,189), evaluated BEFORE the backward sweep so
     the dynamics Hessians can be pre-contracted outside the sequential scan.
@@ -153,7 +157,7 @@ def costate_scan(deriv: DerivativeBundle, phi, mode: str = "auto"):
         mode = "seq" if jax.default_backend() == "tpu" else "assoc"
 
     if mode == "seq":
-        return _costate_seq(deriv.fx, r_x, lam_T)
+        return _make_costate_seq(kernel != "xla")(deriv.fx, r_x, lam_T)
 
     def comb(a, b):
         # a = lower scan index (terminal side, inner map), b = outer
@@ -423,7 +427,8 @@ def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
     zero = mu * jnp.zeros((), dtype)
 
     if lam is None:
-        lam = costate_scan(deriv, nominal[3])
+        lam = costate_scan(deriv, nominal[3],
+                           kernel=options.costate_kernel)
     if second is None and not options.quasi_newton:
         # cH_phi precomputed with nominal phi; dynamics part needs lam
         second = deriv.cH_phi

@@ -158,6 +158,12 @@ class Options:
                                         # "pallas_df64" = force the df64
                                         #            kernels
                                         # "xla"    = never
+    costate_kernel: str = "auto"        # costate-sweep dispatch when the
+                                        # seq mode is vmapped:
+                                        # "auto"   = Pallas sweep kernel on
+                                        #            TPU (ops/costate_pallas,
+                                        #            f32 + df64)
+                                        # "xla"    = always the vmapped scan
     auto_tune: bool = True              # batched TPU entry points auto-select
                                         # backward_mode / ls_speculative from
                                         # the measured crossover table

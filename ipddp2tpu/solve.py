@@ -329,7 +329,7 @@ def _body(problem: Problem, bounds: Bounds, theta, options: Options,
     # costate first (affine associative scan), then pre-contract the dynamics
     # Hessians vectorized over T — the backward sweep never materializes the
     # full [T, nx, nz, nz] tensor
-    lam = costate_scan(deriv, s.phi)
+    lam = costate_scan(deriv, s.phi, kernel=options.costate_kernel)
     if options.quasi_newton:
         second = None
     else:
