@@ -158,12 +158,20 @@ class Options:
                                         # "pallas_df64" = force the df64
                                         #            kernels
                                         # "xla"    = never
-    costate_kernel: str = "auto"        # costate-sweep dispatch when the
+    costate_kernel: str = "xla"         # costate-sweep dispatch when the
                                         # seq mode is vmapped:
                                         # "auto"   = Pallas sweep kernel on
                                         #            TPU (ops/costate_pallas,
                                         #            f32 + df64)
                                         # "xla"    = always the vmapped scan
+                                        # (default "xla" until the kernel's
+                                        # Mosaic lowering is validated on
+                                        # the real chip — interpret-mode
+                                        # parity alone does not type-check
+                                        # the TPU lowering, and an
+                                        # unvalidated kernel in the bench
+                                        # hot path risks the whole
+                                        # certification)
     auto_tune: bool = True              # batched TPU entry points auto-select
                                         # backward_mode / ls_speculative from
                                         # the measured crossover table
