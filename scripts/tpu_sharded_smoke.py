@@ -44,9 +44,10 @@ c32 = lambda a: (a.astype(jnp.float32)
                  if jnp.issubdtype(a.dtype, jnp.floating) else a)
 bounds, x1s, u0, thetas = jax.tree.map(c32, (bounds, x1s, u0, thetas))
 
-# both megakernels forced; vma check active on the Mosaic lowering
+# all three kernels forced; vma check active on the Mosaic lowering
 options = Options(optimality_tolerance=1e-3, max_iterations=K,
                   backward_kernel="pallas", forward_kernel="pallas",
+                  costate_kernel="auto",
                   ls_speculative=8, ls_spec_continue=True,
                   auto_tune=False, ldlt_unroll=False)
 
