@@ -44,7 +44,9 @@ def _random_sym(key, m, kind):
 @pytest.mark.parametrize("kind", ["plain", "indef_graded", "near_singular"])
 @pytest.mark.parametrize("m", [3, 10, 35])
 def test_bk_reconstruction_and_inertia(kind, m):
-    keys = jax.random.split(jax.random.PRNGKey(hash((kind, m)) % 2**31), 20)
+    # deterministic seed (hash() is PYTHONHASHSEED-randomized => flaky)
+    base = {"plain": 0, "indef_graded": 1, "near_singular": 2}[kind]
+    keys = jax.random.split(jax.random.PRNGKey(1000 * base + m), 20)
     for key in keys:
         A = _random_sym(key, m, kind)
         f = bk_factor_rook(A)
@@ -55,11 +57,17 @@ def test_bk_reconstruction_and_inertia(kind, m):
 
         npos, nneg, nzero = (int(x) for x in bk_inertia(f, atol=1e-12))
         w = np.linalg.eigvalsh(An)
-        # eigh reference counts with a scale-aware zero tolerance
+        # eigh reference counts, bracketed: an eigenvalue within one decade
+        # of the zero tolerance is genuinely ambiguous (BK's pivot-based
+        # classification and eigh's threshold may legitimately differ on
+        # it), so require the BK counts to land between the strict and the
+        # lenient eigh counts rather than match one knife-edge cutoff.
         ztol = 1e-10 * scale
         if kind != "near_singular":
-            assert npos == int((w > ztol).sum())
-            assert nneg == int((w < -ztol).sum())
+            assert int((w > 10 * ztol).sum()) <= npos <= int(
+                (w > 0.1 * ztol).sum())
+            assert int((w < -10 * ztol).sum()) <= nneg <= int(
+                (w < -0.1 * ztol).sum())
         assert npos + nneg + nzero == m
 
 
