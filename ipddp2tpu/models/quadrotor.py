@@ -53,7 +53,10 @@ def _rates(x, u):
     bz = jnp.array([cph * sth * cps + sph * sps,
                     cph * sth * sps - sph * cps,
                     cph * cth])
-    acc = thrust / MASS * bz - jnp.array([0.0, 0.0, GRAVITY])
+    # dtype-pinned: an all-Python-float jnp.array is float64-strong under
+    # x64 and would promote the whole f32 rollout (breaks the mixed-
+    # precision scan carry)
+    acc = thrust / MASS * bz - jnp.array([0.0, 0.0, GRAVITY], x.dtype)
 
     # torques from rotor layout (+ configuration)
     tau = jnp.array([
@@ -61,7 +64,7 @@ def _rates(x, u):
         ARM * (u[2] - u[0]),
         KAPPA_YAW * (u[0] - u[1] + u[2] - u[3]),
     ])
-    I = jnp.asarray(INERTIA)
+    I = jnp.asarray(INERTIA, x.dtype)
     wdot = (tau - jnp.cross(w, I * w)) / I
 
     # Euler-angle kinematics (ZYX)
