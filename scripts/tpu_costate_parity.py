@@ -1,13 +1,17 @@
 """On-chip numerical parity of the Pallas costate sweep vs the XLA scan.
 
 Interpret-mode parity (tests/test_costate_pallas.py) checks the kernel's
-math but not the Mosaic lowering's arithmetic; this script runs BOTH
-dispatches on the real chip from a mid-solve state and reports the
-max-abs and relative deviation of the costate trajectories, plus timing.
+math but not the Mosaic lowering's arithmetic; this script builds a
+mid-solve state on the real chip and compares BOTH dispatches
+trajectory-wide (f32 kernel and the df64 pair kernel), with timing.
 
-Env: PARITY_BATCH (f32 batch, 1024), PARITY_BATCH_F64 (256 — a 30-iter
-f64 warmup at b1024 is a known TPU-worker crash trigger, CLAUDE.md
-round-3), PARITY_ITERS (warmup iterations, 30).
+The warmup mirrors scripts/tpu_f64_phase_probe.py exactly (b1024, f32,
+chunk 30, tol 1e-10, 30 iters) so its programs come out of the shared
+.jax_cache; the f64 leg promotes the f32 state by cast — a from-scratch
+f64 warmup is both uncached and a known worker-crash trigger at b1024
+(CLAUDE.md round-3).
+
+Env: PARITY_BATCH (1024), PARITY_ITERS (30).
 """
 import os
 import sys
@@ -33,54 +37,60 @@ from ipddp2tpu.models import concar
 
 assert jax.default_backend() == "tpu", "needs the real chip"
 
+BATCH = int(os.environ.get("PARITY_BATCH", "1024"))
 K = int(os.environ.get("PARITY_ITERS", "30"))
 prob = concar.problem()
 
+keys = jax.random.split(jax.random.PRNGKey(7), BATCH)
+thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+u0 = jnp.broadcast_to(concar.initial_controls(),
+                      (BATCH, concar.T, concar.NU))
+bounds = concar.bounds(f_lims, tau_lims)
+options = Options(optimality_tolerance=1e-10, max_iterations=K,
+                  ldlt_unroll=False)
 
-def mid_state(batch, dtype):
-    keys = jax.random.split(jax.random.PRNGKey(11), batch)
-    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
-    u0 = jnp.broadcast_to(concar.initial_controls(),
-                          (batch, concar.T, concar.NU))
-    bounds = concar.bounds(f_lims, tau_lims)
-    c = lambda a: (a.astype(dtype)
-                   if jnp.issubdtype(a.dtype, jnp.floating) else a)
-    thetas, x1s, u0, bounds = jax.tree.map(c, (thetas, x1s, u0, bounds))
-    options = Options(optimality_tolerance=1e-7, max_iterations=K,
-                      auto_tune=False, ldlt_unroll=False)
-    sol = solve_chunked(prob, bounds, x1s, u0, theta=thetas,
-                        options=options, chunk=15, batched=True)
-    return thetas, sol
+t0 = time.time()
+c32 = lambda a: (a.astype(jnp.float32)
+                 if jnp.issubdtype(a.dtype, jnp.floating) else a)
+th32 = jax.tree.map(c32, thetas)
+_, s32 = solve_chunked(prob, *jax.tree.map(c32, (bounds, x1s, u0)),
+                       theta=th32, options=options,
+                       chunk=30, batched=True, return_state=True)
+np.asarray(s32.k)
+print(f"warmup {K} f32 iters: {time.time() - t0:.1f}s", flush=True)
 
 
-def check(batch, dtype, label):
-    thetas, s = mid_state(batch, dtype)
+def check(s, th, dtype, label):
     vm = lambda f, *ax: jax.vmap(f, in_axes=ax)
-    deriv = jax.jit(vm(lambda th, x, u, p: evaluate_derivatives(
-        prob, th, x, u, p), 0, 0, 0, 0))(thetas, s.x, s.u, s.phi)
+    deriv = jax.jit(vm(lambda t, x, u, p: evaluate_derivatives(
+        prob, t, x, u, p), 0, 0, 0, 0))(th, s.x, s.u, s.phi)
 
     lam = {}
     for kern in ("xla", "auto"):
         fn = jax.jit(vm(lambda d, p: costate_scan(
             d, p, mode="seq", kernel=kern), 0, 0))
+        out = np.asarray(fn(deriv, s.phi))         # compile + run
         t0 = time.time()
-        out = np.asarray(fn(deriv, s.phi))
+        out = np.asarray(fn(jax.tree.map(
+            lambda a: a * (1 + np.asarray(1e-7, a.dtype))
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, deriv), s.phi))
         lam[kern] = out
-        print(f"  {label} kernel={kern}: {time.time() - t0:.1f}s "
-              f"(compile+run)", flush=True)
+        print(f"  {label} kernel={kern}: {time.time() - t0 :.2f}s warm "
+              f"(fresh inputs)", flush=True)
     d = np.abs(lam["xla"] - lam["auto"])
     scale = np.maximum(np.abs(lam["xla"]), 1.0)
-    print(f"{label}: max abs dev {d.max():.3e}  "
-          f"max rel dev {(d / scale).max():.3e}", flush=True)
+    rel = (d / scale).max()
+    print(f"{label}: max abs dev {d.max():.3e}  max rel dev {rel:.3e}",
+          flush=True)
     eps = 1e-5 if dtype == jnp.float32 else 1e-12
-    ok = (d / scale).max() < eps
+    ok = rel < eps
     print(f"{label}: {'PARITY OK' if ok else '** PARITY FAIL **'}",
           flush=True)
     return ok
 
 
-ok32 = check(int(os.environ.get("PARITY_BATCH", "1024")),
-             jnp.float32, "f32 b1024")
-ok64 = check(int(os.environ.get("PARITY_BATCH_F64", "256")),
-             jnp.float64, "f64 b256")
+ok32 = check(s32, th32, jnp.float32, f"f32 b{BATCH}")
+c64 = lambda a: (a.astype(jnp.float64)
+                 if jnp.issubdtype(a.dtype, jnp.floating) else a)
+ok64 = check(jax.tree.map(c64, s32), thetas, jnp.float64, f"f64 b{BATCH}")
 print("COSTATE PARITY", "OK" if (ok32 and ok64) else "FAIL", flush=True)
