@@ -328,9 +328,20 @@ from functools import lru_cache  # noqa: E402
 from jax.custom_batching import custom_vmap  # noqa: E402
 
 
+# f32 "auto" crossover: the f32 forward kernel LOSES to the XLA
+# speculative path at small batch (47.3 vs 35.8 ms/iter at b64 — the f32
+# iteration is latency-bound and XLA's fused chain is competitive) but
+# WINS once the lanes are saturated (74.8 vs 79.7 ms full-iteration at
+# b1024, round-4 on-chip probe). Batches below this threshold keep XLA.
+F32_FWD_KERNEL_MIN_BATCH = 1024
+
+
 def _kernel_mode(problem: Problem, theta, dtype, options: Options,
-                 need_speculative: bool = True):
-    """None (use XLA) or dd_mode bool for the forward megakernel."""
+                 need_speculative: bool = True, batch=None):
+    """None (use XLA) or dd_mode bool for the forward megakernel.
+
+    `batch` is the vmapped instance count when known (custom_vmap rules
+    pass axis_size); it gates the f32 dispatch under "auto"."""
     mode = options.forward_kernel
     if mode == "xla" or (need_speculative and options.ls_speculative <= 0):
         return None
@@ -341,18 +352,13 @@ def _kernel_mode(problem: Problem, theta, dtype, options: Options,
         return True
     if jax.default_backend() != "tpu":
         return None
-    if not dd_mode:
-        # measured (scripts/tpu_forward_probe.py, docs/PERF.md): the f32
-        # kernel LOSES to the XLA speculative path (47.3 vs 35.8 ms/iter at
-        # b64 — the f32 iteration is latency-bound and XLA's fused chain is
-        # already competitive); the win is the f64/dd phase (39.1 vs 47.5 at
-        # b64, 402 vs 443 at b1024). "auto" therefore dispatches df64 only.
+    if not dd_mode and (batch is None or batch < F32_FWD_KERNEL_MIN_BATCH):
         return None
-    # eligibility: the model must trace through the df64 interpreter
+    # eligibility: the model must trace through the kernel's interpreter
     try:
         from .ops.forward_pallas import (_theta_struct,
                                          _traced_model_cached)
-        _traced_model_cached(problem, _theta_struct(theta), 8, True)
+        _traced_model_cached(problem, _theta_struct(theta), 8, dd_mode)
     except NotImplementedError:
         return None
     return dd_mode
@@ -458,7 +464,8 @@ def _make_speculative(problem: Problem, options: Options):
             bc, [theta, bounds, gains, nominal, dL, mu, theta_prev,
                  L_prev, min_primal_1, filter_pts], in_batched)
 
-        dd_mode = _kernel_mode(problem, theta, nominal.u.dtype, options)
+        dd_mode = _kernel_mode(problem, theta, nominal.u.dtype, options,
+                               batch=axis_size)
         if dd_mode is None:
             out = jax.vmap(single)(theta, bounds, gains, nominal, dL, mu,
                                    theta_prev, L_prev, min_primal_1,
@@ -539,7 +546,7 @@ def _make_rollout(problem: Problem, options: Options):
                               nzl, nzu, gamma], in_batched)
 
         dd_mode = _kernel_mode(problem, theta, nu_.dtype, options,
-                               need_speculative=False)
+                               need_speculative=False, batch=axis_size)
         if dd_mode is None:
             out = jax.vmap(single)(theta, bounds, gains, nx_, nu_, nphi,
                                    nzl, nzu, gamma)
