@@ -30,6 +30,7 @@ redesign for XLA.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -333,7 +334,11 @@ from jax.custom_batching import custom_vmap  # noqa: E402
 # iteration is latency-bound and XLA's fused chain is competitive) but
 # WINS once the lanes are saturated (74.8 vs 79.7 ms full-iteration at
 # b1024, round-4 on-chip probe). Batches below this threshold keep XLA.
-F32_FWD_KERNEL_MIN_BATCH = 1024
+# The env override exists for on-chip A/B ablations (a huge value turns
+# the f32 dispatch off without touching the df64 phase-2 kernel, which
+# Options.forward_kernel="xla" would also disable).
+F32_FWD_KERNEL_MIN_BATCH = int(os.environ.get(
+    "IPDDP2TPU_F32_FWD_MIN_BATCH", "1024"))
 
 
 def _kernel_mode(problem: Problem, theta, dtype, options: Options,
