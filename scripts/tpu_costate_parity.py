@@ -60,7 +60,14 @@ np.asarray(s32.k)
 print(f"warmup {K} f32 iters: {time.time() - t0:.1f}s", flush=True)
 
 
-def check(s, th, dtype, label):
+def check(s, th, dtype, label, lam_ref=None):
+    """Accuracy vs a true-f64 reference, not cross-implementation equality:
+    the df64 kernel has a ~49-bit effective mantissa (not f64's 53) and the
+    f32 kernel differs from the XLA scan only in accumulation order, so
+    both legitimately deviate from the XLA output; what matters is that
+    the KERNEL is no farther from the f64 reference than XLA is (same
+    error class), and for same-precision f32 that the two stay within the
+    recursion's roundoff growth."""
     vm = lambda f, *ax: jax.vmap(f, in_axes=ax)
     deriv = jax.jit(vm(lambda t, x, u, p: evaluate_derivatives(
         prob, t, x, u, p), 0, 0, 0, 0))(th, s.x, s.u, s.phi)
@@ -80,17 +87,34 @@ def check(s, th, dtype, label):
     d = np.abs(lam["xla"] - lam["auto"])
     scale = np.maximum(np.abs(lam["xla"]), 1.0)
     rel = (d / scale).max()
-    print(f"{label}: max abs dev {d.max():.3e}  max rel dev {rel:.3e}",
-          flush=True)
-    eps = 1e-5 if dtype == jnp.float32 else 1e-12
-    ok = rel < eps
-    print(f"{label}: {'PARITY OK' if ok else '** PARITY FAIL **'}",
-          flush=True)
-    return ok
+    print(f"{label}: xla-vs-kernel max rel dev {rel:.3e}", flush=True)
+    if lam_ref is None:
+        # this IS the f64 leg: XLA output (true f64) is the reference for
+        # the df64 kernel; accept the double-single precision model
+        # (2^-48 per op x ~T growth ~ 1e-10)
+        ok = rel < 1e-9
+        print(f"{label}: {'PARITY OK' if ok else '** PARITY FAIL **'} "
+              f"(df64-vs-f64 budget 1e-9)", flush=True)
+        return ok, np.asarray(lam["xla"])
+    # f32 leg: compare both against the f64 reference computed from the
+    # same (f32-exact) state — the kernel must not be a worse
+    # approximation than the XLA scan
+    e_xla = np.abs(lam["xla"] - lam_ref) / np.maximum(np.abs(lam_ref), 1.0)
+    e_ker = np.abs(lam["auto"] - lam_ref) / np.maximum(np.abs(lam_ref), 1.0)
+    print(f"{label}: err-vs-f64ref xla {e_xla.max():.3e} "
+          f"kernel {e_ker.max():.3e}", flush=True)
+    ok = e_ker.max() <= 3.0 * max(e_xla.max(), 1e-6)
+    print(f"{label}: {'PARITY OK' if ok else '** PARITY FAIL **'} "
+          f"(kernel error within 3x of XLA's own f32 error)", flush=True)
+    return ok, None
 
 
-ok32 = check(s32, th32, jnp.float32, f"f32 b{BATCH}")
 c64 = lambda a: (a.astype(jnp.float64)
                  if jnp.issubdtype(a.dtype, jnp.floating) else a)
-ok64 = check(jax.tree.map(c64, s32), thetas, jnp.float64, f"f64 b{BATCH}")
+# f64 leg first: its XLA output doubles as the f32 leg's high-precision
+# reference (the f64 state is the exact cast of the f32 state)
+ok64, lam_ref = check(jax.tree.map(c64, s32), jax.tree.map(c64, th32),
+                      jnp.float64, f"f64 b{BATCH}")
+ok32, _ = check(s32, th32, jnp.float32, f"f32 b{BATCH}",
+                lam_ref=lam_ref.astype(np.float32))
 print("COSTATE PARITY", "OK" if (ok32 and ok64) else "FAIL", flush=True)
