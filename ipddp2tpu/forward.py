@@ -329,16 +329,17 @@ from functools import lru_cache  # noqa: E402
 from jax.custom_batching import custom_vmap  # noqa: E402
 
 
-# f32 "auto" crossover: the f32 forward kernel LOSES to the XLA
-# speculative path at small batch (47.3 vs 35.8 ms/iter at b64 — the f32
-# iteration is latency-bound and XLA's fused chain is competitive) but
-# WINS once the lanes are saturated (74.8 vs 79.7 ms full-iteration at
-# b1024, round-4 on-chip probe). Batches below this threshold keep XLA.
-# The env override exists for on-chip A/B ablations (a huge value turns
-# the f32 dispatch off without touching the df64 phase-2 kernel, which
-# Options.forward_kernel="xla" would also disable).
+# f32 "auto" crossover, measured round 4 on-chip: the f32 forward kernel
+# loses to the XLA speculative path at b64 (47.3 vs 35.8 ms/iter), loses
+# CATASTROPHICALLY at b256 (370.9 vs 28.3 — a bad grid/occupancy regime),
+# and won a single b1024 pair by ~6% (74.8 vs 79.7) that is within relay
+# noise. Default: OFF (threshold out of reach) until a reproducible win
+# is measured; the env override enables on-chip A/B without touching the
+# df64 phase-2 kernel (which Options.forward_kernel="xla" would also
+# disable). Keeping the default off also keeps the headline bench's f32
+# phase on its certified, cache-prewarmed program.
 F32_FWD_KERNEL_MIN_BATCH = int(os.environ.get(
-    "IPDDP2TPU_F32_FWD_MIN_BATCH", "1024"))
+    "IPDDP2TPU_F32_FWD_MIN_BATCH", "1000000"))
 
 
 def _kernel_mode(problem: Problem, theta, dtype, options: Options,
