@@ -275,6 +275,7 @@ _RULES = {
     "stop_gradient": lambda a, **_: a,
     "copy": lambda a, **_: a,
     "pjit": _call_rule,
+    "jit": _call_rule,   # jax >= 0.7 renamed the pjit primitive
     "closed_call": _call_rule,
     "custom_jvp_call": _custom_call_rule,
     "custom_vjp_call": _custom_call_rule,
@@ -315,7 +316,7 @@ def _eval_jaxpr(jaxpr, consts, args):
                 f"ddeval: no df64 rule for primitive '{name}'")
         invals = [read(v) for v in eqn.invars]
         params = dict(eqn.params)
-        if name in ("pjit", "closed_call", "remat",
+        if name in ("pjit", "jit", "closed_call", "remat",
                     "custom_jvp_call", "custom_vjp_call",
                     "custom_vjp_call_jaxpr"):
             # strip transform-specific params; the rules only need the jaxpr
@@ -416,7 +417,8 @@ def _eval_mosaic(jaxpr, consts, invals):
         if eqn.primitive.name == "dot_general":
             out = _dot_general_f32(*iv, dimension_numbers=eqn.params[
                 "dimension_numbers"])
-        elif eqn.primitive.name in ("pjit", "closed_call", "remat"):
+        elif eqn.primitive.name in ("pjit", "jit",
+                                    "closed_call", "remat"):
             inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
             sub = inner.jaxpr if hasattr(inner, "jaxpr") else inner
             sub_consts = inner.consts if hasattr(inner, "consts") else []

@@ -8,8 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ipddp2tpu.models import (acrobot, cartpole, concar, double_integrator,
-                              pushing)
+from ipddp2tpu.models import (acrobot, cartpole, cartpole_swingup, concar,
+                              double_integrator, pushing, quadrotor)
 from ipddp2tpu.ops import df64 as dd
 from ipddp2tpu.ops.ddeval import dd_eval
 
@@ -35,9 +35,13 @@ def _check(fn, args_f64, args_dd, in_axes, tol=1e-11):
 
 
 @pytest.mark.parametrize("mod", [concar, double_integrator, cartpole,
-                                 acrobot, pushing],
+                                 acrobot, pushing, quadrotor,
+                                 cartpole_swingup],
                          ids=lambda m: m.__name__.rsplit(".", 1)[-1])
 def test_model_functions_in_df64(mod):
+    # quadrotor regression: its dynamics uses jnp.cross, which recent jax
+    # traces as a nested `jit` call primitive — the interpreter must
+    # recurse into call primitives (ops/ddeval.py _call_rule)
     rng = np.random.default_rng(1)
     if mod is double_integrator:
         th, th_l, axth = None, None, None
@@ -56,7 +60,9 @@ def test_model_functions_in_df64(mod):
     t = jnp.int32(2)
     th_dd = None if th_l is None else jax.tree.map(_dfify, th_l)
     for fname in ("dynamics", "constraints", "stage_cost"):
-        fn = getattr(mod, fname)
+        fn = getattr(mod, fname, None)
+        if fn is None:          # bound-only models have no constraints
+            continue
         _check(fn, (x, u, t, th_l), (_dfify(x), _dfify(u), t, th_dd),
                (-1, -1, None, axth))
     _check(mod.terminal_cost, (x, th_l), (_dfify(x), th_dd), (-1, axth))
