@@ -45,8 +45,15 @@ TUNE_TABLE = (
     # apply). Measured b2048 mixed: 23.4 vs 17.3-18.3 OCPs/s sequential
     # (the max-over-batch backtracking chains collapse to one batched
     # evaluation).
-    ("float32", 32, None, {"backward_mode": "scan", "ls_speculative": 8,
+    ("float32", 32, 2048, {"backward_mode": "scan", "ls_speculative": 8,
                            "ls_spec_continue": True}),
+    # at b2048 the batched K-candidate forward eval dominates the f32
+    # iteration (~28 of ~75 ms at b1024); K=4 halves it and the sequential
+    # continuation keeps semantics. Measured round 4 (4 reps each, same
+    # solved counts and success rung): K=4 26.8/28.0/26.9/27.9 vs K=8
+    # 25.3/25.4/25.8 OCPs/s.
+    ("float32", 2048, None, {"backward_mode": "scan", "ls_speculative": 4,
+                             "ls_spec_continue": True}),
     ("float64", 64, None, {"backward_mode": "scan", "ls_speculative": 8,
                            "ls_spec_continue": True}),
     ("float64", 1, 64, {"backward_mode": "scan", "ls_speculative": 0}),

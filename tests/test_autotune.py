@@ -17,6 +17,11 @@ def test_dispatch_table_pinned():
     t = tune(o, 1024, jnp.float32, backend="tpu")
     assert (t.backward_mode, t.ls_speculative,
             t.ls_spec_continue) == ("scan", 8, True)
+    # TPU f32 at the headline scale: K=4 hybrid (measured b2048, round 4:
+    # 26.8-28.0 vs 25.3-25.8 OCPs/s at identical solved counts)
+    t = tune(o, 2048, jnp.float32, backend="tpu")
+    assert (t.backward_mode, t.ls_speculative,
+            t.ls_spec_continue) == ("scan", 4, True)
     # TPU f64 endgame at batch: speculative-8 lanes (measured b1024 optimum)
     t = tune(o, 256, jnp.float64, backend="tpu")
     assert (t.backward_mode, t.ls_speculative,
