@@ -32,9 +32,11 @@ rung produced nothing.
 
 Env knobs: BENCH_TOL (1e-7), BENCH_TOTAL_BUDGET seconds (1500),
 BENCH_FIRST_TIMEOUT seconds (800, deadline for the worker's first line),
-BENCH_REPS (2, per rung), BENCH_LADDER like "2048:mixed,512:mixed,8:f64"
+BENCH_REPS (3, per rung), BENCH_LADDER like "2048:mixed,512:mixed,8:f64"
 (first entry is the primary rung; suffix "r" on a mode = restart-rescue),
 BENCH_SUCCESS ("mixedr"; "" disables the success rung),
+BENCH_RESCUE_MAX (1000 — restart-rescue iteration cap, the reference's
+max_iter; "0" falls back to the lockstep cap),
 BENCH_DEVICE_WAIT seconds (900 — a wedged relay takes 20-40 min to
 recover; polling is cheaper than doomed attempts).
 """
@@ -110,6 +112,15 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0):
     p1_max = int(os.environ.get("BENCH_P1MAX", "0")) or None
     p2_max = int(os.environ.get("BENCH_P2MAX", "40"))
     p2_spec = int(os.environ.get("BENCH_P2SPEC", "8"))
+    # restart-rescue iteration cap: the reference runs max_iter=1000
+    # (src/options.jl:5); the success rung's compacted stragglers get the
+    # full reference budget even though the lockstep batch is capped at 600
+    rescue_max = int(os.environ.get("BENCH_RESCUE_MAX", "1000")) or None
+    # per-chunk adaptive hybrid-LS K in the f32 phase, e.g. "2,4,8"
+    # ("" = static autotuned K)
+    adapt_env = os.environ.get("BENCH_ADAPT_K", "")
+    adapt_k = (tuple(int(k) for k in adapt_env.split(","))
+               if adapt_env else None)
     stall = int(os.environ.get("BENCH_STALL", "0")) or None
     # endgame batch compaction: the f64 phase is compute-bound, so
     # converged lockstep lanes pay full price; gather the still-running
@@ -141,8 +152,10 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0):
                                    phase2_ls_speculative=p2_spec or None,
                                    phase1_stall_window=stall,
                                    rescue_failed=rescue,
+                                   rescue_max_iterations=rescue_max,
                                    phase2_chunk=p2_chunk,
                                    phase2_compact=p2_compact,
+                                   phase1_adapt_ls=adapt_k,
                                    batched=True)
 
     modes = plan.split(",")
@@ -292,7 +305,10 @@ def _probe_device(budget: "_Budget", wait_s: float) -> bool:
 def main():
     tol = float(os.environ.get("BENCH_TOL", "1e-7"))
     first_timeout = float(os.environ.get("BENCH_FIRST_TIMEOUT", "800"))
-    n_reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
+    # 3 reps per rung (round 5): the round-4 artifact's 2-rep medians left a
+    # 40% success-rung spread; one warm solve + 3 headline + 3 success reps
+    # measured ~860 s against the 1500 s budget
+    n_reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1500"))
     ladder = os.environ.get("BENCH_LADDER",
                             "2048:mixed,1024:mixed,512:mixed,8:f64")

@@ -28,7 +28,7 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
                   options: Optional[Options] = None, chunk: int = 25,
                   batched: bool = False, return_state: bool = False,
                   stall_window: Optional[int] = None,
-                  compact_sizes=None):
+                  compact_sizes=None, adapt_ls=None):
     """Solve (a batch of) instances with host-resumed iteration chunks.
 
     With `batched`, all array arguments carry a leading instance axis and the
@@ -61,7 +61,8 @@ def solve_chunked(problem: Problem, bounds: Bounds, x1, u_init, theta=None,
     state = run_chunked(problem, bounds, state, theta, options,
                         chunk=chunk, batched=batched,
                         stall_window=stall_window if batched else None,
-                        compact_sizes=compact_sizes if batched else None)
+                        compact_sizes=compact_sizes if batched else None,
+                        adapt_ls=adapt_ls if batched else None)
 
     sol = Solution(
         x=state.x, u=state.u, phi=state.phi, zl=state.zl, zu=state.zu,
@@ -114,7 +115,7 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
                 options: Optional[Options] = None, chunk: int = 25,
                 batched: bool = False, total=None,
                 stall_window: Optional[int] = None,
-                compact_sizes=None):
+                compact_sizes=None, adapt_ls=None):
     """Continue `run` from an existing state in host-resumed chunks
     (the warm-start entry point for chunked execution).
 
@@ -126,6 +127,18 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
     `total` overrides options.max_iterations as the iteration ceiling; it
     may be a per-instance array (e.g. `state.k + phase2_budget` to bound a
     warm-started endgame per instance).
+
+    `adapt_ls` (ascending tuple of candidate K values, batched only) enables
+    per-chunk adaptive hybrid line search: at each chunk boundary the host
+    reads the running instances' last line-search trial counts
+    (`state.num_ls`) and picks the smallest candidate K covering their 90th
+    percentile for the next chunk. Early iterations backtrack deep (want a
+    wide speculative batch), late iterations accept gamma=1 (a narrow one);
+    a static K pays for the wrong regime half the time. Requires hybrid
+    mode (`ls_speculative > 0` with `ls_spec_continue`), whose accept
+    semantics — largest acceptable gamma — are K-invariant, so switching K
+    between chunks never changes which step is taken, only what it costs.
+    Each candidate K compiles its own program (keep the set small).
 
     `compact_sizes` (descending tuple, batched only) enables batch
     compaction at chunk boundaries: when the still-running instances fit a
@@ -147,6 +160,12 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
             "compact_sizes requires batched=True and no stall_window")
         compact_sizes = tuple(sorted(set(int(s) for s in compact_sizes),
                                      reverse=True))
+    if adapt_ls:
+        assert batched, "adapt_ls requires batched=True"
+        if options.ls_speculative <= 0 or not options.ls_spec_continue:
+            adapt_ls = None     # only the hybrid LS is K-invariant
+        else:
+            adapt_ls = tuple(sorted(set(int(k) for k in adapt_ls)))
 
     run_chunk = _chunk_runner(problem, options, batched, theta is not None)
 
@@ -204,6 +223,22 @@ def run_chunked(problem: Problem, bounds: Bounds, state, theta=None,
                                         batched=True, total=sub_total,
                                         compact_sizes=compact_sizes)
                 return _scatter_tree(state, jidx, sub_state)
+        if adapt_ls and np.any(np.asarray(state.num_ls) > 0):
+            # pick the smallest K covering the running instances' p90
+            # line-search depth (num_ls is the LAST iteration's trial
+            # count; across a large batch its p90 is a stable regime
+            # signal). Instances beyond K fall to the sequential
+            # continuation, whose lockstep trips are max-over-batch —
+            # covering the extreme tail is what the K=8-everywhere
+            # measurement showed to be a net loss.
+            depth = np.asarray(state.num_ls)[running]
+            d90 = float(np.percentile(depth, 90)) if depth.size else 1.0
+            K = next((k for k in adapt_ls if k >= d90), adapt_ls[-1])
+            if K != options.ls_speculative:
+                options = options.__class__(**{
+                    **options.__dict__, "ls_speculative": K})
+                run_chunk = _chunk_runner(problem, options, batched,
+                                          theta is not None)
         # clear transient hit-the-chunk-cap stops on the running instances
         state = state._replace(status=jnp.where(
             jnp.asarray(running & (status == 8)), jnp.int32(0),

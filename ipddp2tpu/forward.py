@@ -360,7 +360,16 @@ def _kernel_mode(problem: Problem, theta, dtype, options: Options,
         return None
     if not dd_mode and (batch is None or batch < F32_FWD_KERNEL_MIN_BATCH):
         return None
-    # eligibility: the model must trace through the kernel's interpreter
+    if not dd_mode:
+        # no eligibility probe for f32: the trace goes through
+        # jax.make_jaxpr, which accepts any primitive (ddeval's
+        # NotImplementedError is a dd_mode-only signal), so a probe here
+        # proves nothing about Mosaic supportability — an unsupported model
+        # surfaces at kernel compile. Only reachable via the
+        # IPDDP2TPU_F32_FWD_MIN_BATCH override.
+        return False
+    # dd eligibility: the model must trace through the df64 interpreter,
+    # which raises NotImplementedError on primitives it has no dd rule for
     try:
         from .ops.forward_pallas import (_theta_struct,
                                          _traced_model_cached)

@@ -108,9 +108,12 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                         phase1_stall_window: Optional[int] = None,
                         rescue_failed=True,
                         rescue_ls_speculative: Optional[int] = None,
+                        rescue_max_iterations: Optional[int] = None,
                         phase2_chunk: Optional[int] = None,
                         phase2_compact=False,
-                        batched: bool = False):
+                        phase1_adapt_ls=None,
+                        batched: bool = False,
+                        return_info: bool = False):
     """Chunked two-phase solve: f32 bulk phase, f64 endgame, each as
     host-resumed short device programs (for runtimes that kill long
     executions). Batched variant vmaps over a leading instance axis.
@@ -145,7 +148,23 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
         the compact batch never drags the healthy instances — success
         approaches the pure-f64 campaign's at a bounded wall cost. The
         rescue line search is sequential-backtracking by default
-        (reference semantics; `rescue_ls_speculative` overrides)."""
+        (reference semantics; `rescue_ls_speculative` overrides).
+
+    `rescue_max_iterations`: iteration cap for the restart rescue batch
+    only (default `options.max_iterations`). The reference runs
+    max_iter=1000 (src/options.jl:5); a throughput bench capping the
+    lockstep batch at fewer iterations can still give the compacted
+    rescue stragglers the full reference budget — they are the instances
+    competing with the reference's 100/100.
+
+    `phase1_adapt_ls`: ascending K-candidate tuple for per-chunk adaptive
+    hybrid line search in the f32 bulk phase (see run_chunked.adapt_ls).
+
+    `return_info`: also return a dict classifying every instance's path
+    through the phases — phase-1 end {converged,status,k}, phase-2
+    pre-rescue {converged,status,k,KKT errors}, and the rescue batch's
+    {indices,converged,status,k} — the observability needed to attribute
+    residual failures (iteration cap vs stall vs line-search failure)."""
     from .chunked import run_chunked, solve_chunked
 
     options = options or Options()
@@ -165,7 +184,9 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                            jax.tree.map(cast32, u_init), theta=th32,
                            options=opts32, chunk=chunk, batched=batched,
                            return_state=True,
-                           stall_window=phase1_stall_window)
+                           stall_window=phase1_stall_window,
+                           adapt_ls=phase1_adapt_ls)
+    info = {"p1": _phase_snapshot(s32)} if return_info else None
 
     cast64 = lambda a: (a.astype(jnp.float64)
                         if jnp.issubdtype(jnp.asarray(a).dtype,
@@ -225,6 +246,9 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                       chunk=phase2_chunk or chunk,
                       batched=batched, total=total2,
                       compact_sizes=compact)
+    if return_info:
+        info["p2"] = _phase_snapshot(s64)
+        info["rescue"] = None
 
     if rescue_failed == "restart" and batched:
         failed = np.where(~np.asarray(s64.converged))[0]
@@ -245,7 +269,10 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                 **options.__dict__, "auto_tune": False,
                 "ls_speculative": (rescue_ls_speculative
                                    if rescue_ls_speculative is not None
-                                   else options.ls_speculative)})
+                                   else options.ls_speculative),
+                "max_iterations": (rescue_max_iterations
+                                   if rescue_max_iterations is not None
+                                   else options.max_iterations)})
             sub_b = _gather_tree(b64, jidx)
             sub_th = None if theta is None else _gather_tree(th64, jidx)
             _, s_r = solve_chunked(
@@ -260,9 +287,25 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
             keep = jnp.asarray(idx[:failed.size])
             s64 = _scatter_tree(s64, keep,
                                 _gather_tree(s_r, jnp.arange(failed.size)))
+            if return_info:
+                info["rescue"] = {"indices": failed,
+                                  **_phase_snapshot(
+                                      _gather_tree(
+                                          s_r, jnp.arange(failed.size)))}
 
-    return Solution(
+    sol = Solution(
         x=s64.x, u=s64.u, phi=s64.phi, zl=s64.zl, zu=s64.zu, lam=s64.lam,
         objective=s64.objective, iterations=s64.k, status=s64.status,
         converged=s64.converged, primal_inf=s64.primal_inf,
         dual_inf=s64.dual_inf, cs_inf=s64.cs_inf, mu=s64.mu)
+    return (sol, info) if return_info else sol
+
+
+def _phase_snapshot(state) -> dict:
+    """Host copies of the per-instance fields needed to attribute failures."""
+    import numpy as np
+
+    out = {f: np.asarray(getattr(state, f))
+           for f in ("converged", "status", "k",
+                     "primal_inf", "dual_inf", "cs_inf", "mu")}
+    return out

@@ -99,3 +99,46 @@ def test_chunked_compaction_matches_lockstep():
                                   np.asarray(full.objective)[early])
     np.testing.assert_array_equal(np.asarray(comp.iterations)[early],
                                   np.asarray(full.iterations)[early])
+
+
+@pytest.mark.slow
+def test_chunked_adaptive_ls_matches_static():
+    """Per-chunk adaptive hybrid-LS K (adapt_ls) must certify the same
+    instances to the same optima as the static-K hybrid: the hybrid's
+    accept rule — largest acceptable gamma, sequential continuation below
+    2^-K — is K-invariant, so K switching at chunk boundaries is purely a
+    cost knob. f32 phase-1 configuration (where the bench uses it)."""
+    opts = Options(optimality_tolerance=3e-4, max_iterations=300,
+                   ls_speculative=4, ls_spec_continue=True)
+    n = 8
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+    c32 = lambda a: (a.astype(jnp.float32)
+                     if jnp.issubdtype(a.dtype, jnp.floating) else a)
+    thetas, f_lims, tau_lims, x1s = jax.tree.map(
+        c32, (thetas, f_lims, tau_lims, x1s))
+    bounds = concar.bounds(f_lims, tau_lims, dtype=jnp.float32)
+    u0 = jnp.broadcast_to(concar.initial_controls().astype(jnp.float32),
+                          (n, concar.T, concar.NU))
+    static = solve_chunked(concar.problem(), bounds, x1s, u0, theta=thetas,
+                           options=opts, chunk=20, batched=True)
+    adapt = solve_chunked(concar.problem(), bounds, x1s, u0, theta=thetas,
+                          options=opts, chunk=20, batched=True,
+                          adapt_ls=(2, 4, 8))
+    np.testing.assert_array_equal(np.asarray(adapt.converged),
+                                  np.asarray(static.converged))
+    conv = np.asarray(static.converged)
+    assert conv.sum() >= 6, np.asarray(static.status)
+    # near-identical optima. The accept rule is K-invariant in exact
+    # arithmetic, but evaluating the same gamma in a spec lane vs the
+    # sequential tail reassociates fp, and at the loose 3e-4 phase-1
+    # tolerance the drifted paths stop at slightly different near-optimal
+    # points (measured 0.6% on 2/8 seed-7 instances); the f64 endgame
+    # downstream converges both to certified KKT points
+    np.testing.assert_allclose(np.asarray(adapt.objective)[conv],
+                               np.asarray(static.objective)[conv],
+                               rtol=1e-2)
+    iters_s = np.asarray(static.iterations)[conv]
+    iters_a = np.asarray(adapt.iterations)[conv]
+    assert np.all(np.abs(iters_a - iters_s) <= np.maximum(
+        10, 0.25 * iters_s)), (iters_s, iters_a)

@@ -43,10 +43,16 @@ def test_model_functions_in_df64(mod):
     # traces as a nested `jit` call primitive — the interpreter must
     # recurse into call primitives (ops/ddeval.py _call_rule)
     rng = np.random.default_rng(1)
-    if mod is double_integrator:
+    probe = (None if mod is double_integrator
+             else mod.random_instance(jax.random.PRNGKey(0)))
+    if probe is None or (not hasattr(probe, "_fields")
+                         and not isinstance(probe, tuple)):
+        # no randomized theta: double_integrator has no random_instance
+        # input, and models like cartpole_swingup return only a randomized
+        # initial state (a bare array — NOT a theta; indexing it would
+        # silently pick the scalar cart position)
         th, th_l, axth = None, None, None
     else:
-        probe = mod.random_instance(jax.random.PRNGKey(0))
         # concar returns (theta, f_lim, tau_lim, x1); the contact models
         # return their Theta NamedTuple directly (which is also a tuple)
         pick = ((lambda k: mod.random_instance(k))

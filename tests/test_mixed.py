@@ -92,11 +92,13 @@ def test_mixed_chunked_restart_rescue():
                                rescue_failed=False, batched=True)
     conv_deny = np.asarray(deny.converged)
     assert not conv_deny.all(), "expected at least one f32-stalled instance"
-    resc = solve_mixed_chunked(concar.problem(), bounds, x1s, u0,
-                               theta=thetas, options=opts, chunk=40,
-                               phase2_max_iterations=40,
-                               rescue_failed="restart",
-                               phase2_compact=(4, 2), batched=True)
+    resc, info = solve_mixed_chunked(concar.problem(), bounds, x1s, u0,
+                                     theta=thetas, options=opts, chunk=40,
+                                     phase2_max_iterations=40,
+                                     rescue_failed="restart",
+                                     rescue_max_iterations=1000,
+                                     phase2_compact=(4, 2), batched=True,
+                                     return_info=True)
     conv = np.asarray(resc.converged)
     # every instance certifies, healthy ones to the same optima as before
     assert conv.all(), np.asarray(resc.status)
@@ -104,3 +106,12 @@ def test_mixed_chunked_restart_rescue():
                                np.asarray(deny.objective)[conv_deny],
                                rtol=1e-9)
     assert float(np.max(np.asarray(resc.dual_inf))) < 1e-7
+    # the info dict attributes every failure path: the denied instances
+    # appear as p2 failures and as rescue indices, and the rescue solved them
+    assert set(info) == {"p1", "p2", "rescue"}
+    p2_failed = np.where(~info["p2"]["converged"])[0]
+    np.testing.assert_array_equal(info["rescue"]["indices"], p2_failed)
+    np.testing.assert_array_equal(p2_failed, np.where(~conv_deny)[0])
+    assert info["rescue"]["converged"].all()
+    # the rescue honored its own (reference-level) iteration budget
+    assert int(info["rescue"]["k"].max()) <= 1000

@@ -36,7 +36,11 @@ def _f32_instance(mod):
         bounds = mod.bounds()
     else:
         if hasattr(mod, "random_instance"):
-            theta = mod.random_instance(jax.random.PRNGKey(0))
+            probe = mod.random_instance(jax.random.PRNGKey(0))
+            # a bare-array return is a randomized initial state (e.g.
+            # cartpole_swingup), not a theta
+            theta = probe if (hasattr(probe, "_fields")
+                              or isinstance(probe, tuple)) else None
         x1 = mod.initial_state()
         bounds = mod.bounds()
     u0 = mod.initial_controls()
