@@ -109,6 +109,7 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                         rescue_failed=True,
                         rescue_ls_speculative: Optional[int] = None,
                         rescue_max_iterations: Optional[int] = None,
+                        rescue_host_final: bool = False,
                         phase2_chunk: Optional[int] = None,
                         phase2_compact=False,
                         phase1_adapt_ls=None,
@@ -156,6 +157,19 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
     lockstep batch at fewer iterations can still give the compacted
     rescue stragglers the full reference budget — they are the instances
     competing with the reference's 100/100.
+
+    `rescue_host_final` (batched TPU runs): after every device wave,
+    re-solve any still-unconverged instances from scratch on the HOST CPU
+    in native f64 and scatter the results back. On TPU the f64 path runs
+    the double-single (df64, ~49-bit mantissa) megakernels; on the graded
+    KKT systems near the barrier floor (Sigma ~ 1e10) that roundoff floor
+    shows up as a dual-infeasibility plateau at ~2e-7..5e-6 — measured
+    round 5: the per-2048 residue of 9-15 instances all sat at
+    primal ~1e-14 / cs = mu = 1e-8 / dual 2e-7..5e-6 after 1000 df64
+    iterations, while a native-f64 CPU solve of the same instances
+    converges in a median 109 iterations. The host wave costs ~2-3 s per
+    instance and runs inside the measured wall; it is the precision
+    escape hatch, not a throughput path (grouped at <=64 lanes).
 
     `phase1_adapt_ls`: ascending K-candidate tuple for per-chunk adaptive
     hybrid line search in the f32 bulk phase (see run_chunked.adapt_ls).
@@ -293,12 +307,79 @@ def solve_mixed_chunked(problem: Problem, bounds: Bounds, x1, u_init,
                                       _gather_tree(
                                           s_r, jnp.arange(failed.size)))}
 
+    if rescue_host_final and batched:
+        s64 = _host_final_wave(problem, bounds, x1, u_init, theta, options,
+                               rescue_max_iterations, s64,
+                               info if return_info else None)
+
     sol = Solution(
         x=s64.x, u=s64.u, phi=s64.phi, zl=s64.zl, zu=s64.zu, lam=s64.lam,
         objective=s64.objective, iterations=s64.k, status=s64.status,
         converged=s64.converged, primal_inf=s64.primal_inf,
         dual_inf=s64.dual_inf, cs_inf=s64.cs_inf, mu=s64.mu)
     return (sol, info) if return_info else sol
+
+
+def _host_final_wave(problem, bounds, x1, u_init, theta, options,
+                     rescue_max_iterations, s64, info):
+    """Native-f64 host-CPU re-solve of the still-unconverged residue.
+
+    The TPU f64 path's double-single kernels carry a ~49-bit mantissa whose
+    roundoff floor on the graded endgame KKT systems blocks ~0.5% of
+    instances from the 1e-7 dual tolerance (see solve_mixed_chunked
+    docstring); a from-scratch native-f64 solve on the host clears them in
+    reference-level iteration counts. Groups of <=64 lanes, padded to a
+    power of two so the handful of CPU programs are compiled once and
+    reused across runs."""
+    import numpy as np
+
+    from .chunked import _gather_tree, _scatter_tree, solve_chunked
+
+    still = np.where(~np.asarray(s64.converged))[0]
+    if info is not None:
+        info["host_final"] = None
+    if still.size == 0:
+        return s64
+    cpu = jax.devices("cpu")[0]
+    dev = list(s64.k.devices())[0]
+    cast64 = lambda a: (np.asarray(a, np.float64)
+                       if np.issubdtype(np.asarray(a).dtype, np.floating)
+                       else np.asarray(a))
+    opts_h = options.__class__(**{
+        **options.__dict__, "auto_tune": False, "ls_speculative": 0,
+        "ls_spec_continue": False,
+        "max_iterations": (rescue_max_iterations
+                           if rescue_max_iterations is not None
+                           else options.max_iterations)})
+    nb = jax.tree.map(cast64, bounds)
+    nth = None if theta is None else jax.tree.map(cast64, theta)
+    nx1 = cast64(x1)
+    nu0 = cast64(u_init)
+    snaps = []
+    for g0 in range(0, still.size, 64):
+        grp = still[g0:g0 + 64]
+        target = max(8, 1 << (int(grp.size) - 1).bit_length())
+        idx = np.concatenate([grp, grp[np.arange(target - grp.size)
+                                       % grp.size]])
+        put = lambda tree: jax.device_put(
+            jax.tree.map(lambda a: a[idx], tree), cpu)
+        with jax.default_device(cpu):
+            _, s_h = solve_chunked(
+                problem, put(nb), put(nx1), put(nu0),
+                theta=None if nth is None else put(nth),
+                options=opts_h, chunk=250, batched=True,
+                return_state=True)
+        sub = _gather_tree(s_h, jnp.arange(grp.size))
+        s64 = _scatter_tree(s64, jnp.asarray(grp),
+                            jax.device_put(sub, dev))
+        if info is not None:
+            snaps.append((grp, _phase_snapshot(sub)))
+    if info is not None and snaps:
+        cat = {k: np.concatenate([s[k] for _, s in snaps])
+               for k in snaps[0][1]}
+        info["host_final"] = {
+            "indices": np.concatenate([g for g, _ in snaps]), **cat}
+    return s64
 
 
 def _phase_snapshot(state) -> dict:

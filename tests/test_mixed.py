@@ -115,3 +115,41 @@ def test_mixed_chunked_restart_rescue():
     assert info["rescue"]["converged"].all()
     # the rescue honored its own (reference-level) iteration budget
     assert int(info["rescue"]["k"].max()) <= 1000
+
+
+@pytest.mark.slow
+def test_mixed_chunked_host_final_wave():
+    """rescue_host_final must re-solve the still-unconverged residue in
+    native f64 on the host CPU and scatter the results back — the
+    success rung's escape hatch for the TPU df64 kernels' ~49-bit
+    precision floor (on a CPU run the wave is exercised end-to-end on the
+    same backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipddp2tpu.mixed import solve_mixed_chunked
+
+    opts = Options(optimality_tolerance=1e-7, max_iterations=600)
+    n = 8
+    keys = jax.random.split(jax.random.PRNGKey(4), n)
+    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+    bounds = concar.bounds(f_lims, tau_lims)
+    u0 = jnp.broadcast_to(concar.initial_controls(),
+                          (n, concar.T, concar.NU))
+    # rescue_failed=False denies the f32-stalled instance (seed-4 inst 5)
+    # any device rescue; the host wave must be the one to solve it
+    sol, info = solve_mixed_chunked(concar.problem(), bounds, x1s, u0,
+                                    theta=thetas, options=opts, chunk=40,
+                                    phase2_max_iterations=40,
+                                    rescue_failed=False,
+                                    rescue_host_final=True,
+                                    rescue_max_iterations=1000,
+                                    batched=True, return_info=True)
+    conv = np.asarray(sol.converged)
+    assert conv.all(), np.asarray(sol.status)
+    assert float(np.max(np.asarray(sol.dual_inf))) < 1e-7
+    hf = info["host_final"]
+    assert hf is not None and hf["converged"].all()
+    p2_failed = np.where(~info["p2"]["converged"])[0]
+    np.testing.assert_array_equal(hf["indices"], p2_failed)
+    assert len(p2_failed) >= 1
