@@ -14,6 +14,10 @@ ROW = re.compile(
     r"(\w+) seed (\d+): ours=([\d.e+-]+)\s+slsqp\(cold\)=([\d.e+-]+) "
     r"\[(same basin|different local opt); (\d+) its, (\d+)s\]\s+"
     r"warm-start improvement=([\d.e+-]+)")
+# contact problems run warm-start-only (cold dense NLP too large)
+ROW_WARM = re.compile(
+    r"(\w+) seed (\d+): ours=([\d.e+-]+)\s+"
+    r"\(cold start skipped[^)]*\)\s+warm-start improvement=([\d.e+-]+)")
 
 
 def main(paths):
@@ -29,26 +33,40 @@ def main(paths):
                     "its": int(m.group(6)), "wall_s": int(m.group(7)),
                     "improve": float(m.group(8)), "shard": p,
                 })
+                continue
+            m = ROW_WARM.search(line)
+            if m:
+                rows.append({
+                    "problem": m.group(1), "seed": int(m.group(2)),
+                    "ours": float(m.group(3)), "cold": None, "same": None,
+                    "improve": float(m.group(4)), "shard": p,
+                })
     if not rows:
         print("no instances parsed")
         return
     print("| problem | shard/seed | ours | SLSQP cold | basin | "
           "ours better? | stationarity held |")
     print("|---|---|---|---|---|---|---|")
-    held = same = better = 0
+    held = same = better = ncold = 0
     for r in rows:
         h = r["improve"] <= 1e-4 + 1e-8
         held += h
+        tag = r["shard"].split("shard")[-1].split(".")[0]
+        if r["cold"] is None:
+            print(f"| {r['problem']} | {tag}/{r['seed']} | {r['ours']:.6e} | "
+                  f"(warm-only) | — | — | {'yes' if h else 'NO'} |")
+            continue
+        ncold += 1
         same += r["same"]
         better += r["ours"] <= r["cold"] + 1e-6
-        tag = r["shard"].split("shard")[-1].split(".")[0]
         print(f"| {r['problem']} | {tag}/{r['seed']} | {r['ours']:.6e} | "
               f"{r['cold']:.6e} | {'same' if r['same'] else 'different'} | "
               f"{'yes' if r['ours'] <= r['cold'] + 1e-6 else 'no'} | "
               f"{'yes' if h else 'NO'} |")
     n = len(rows)
-    print(f"\n{n} cold instances: {held}/{n} stationarity certificates "
-          f"held, {same}/{n} same basin, ours <= SLSQP on {better}/{n}.")
+    print(f"\n{n} instances ({ncold} cold): {held}/{n} stationarity "
+          f"certificates held, {same}/{ncold} same basin, "
+          f"ours <= SLSQP on {better}/{ncold}.")
 
 
 if __name__ == "__main__":

@@ -12,8 +12,9 @@ solve_mixed_chunked(return_info=True) to attribute each failure:
     errors of anything still unsolved
 
 Env: PROBE_BATCH (2048), PROBE_SEEDS ("1002,1004" — the round-4 bench's
-success-rep seeds), PROBE_RESCUE_MAX ("" = options cap 600; the reference
-runs max_iter=1000, src/options.jl:5), BENCH_* knobs as in bench.py.
+success-rep seeds), PROBE_RESCUE_MAX (600, the bench default; "" = lockstep
+cap), PROBE_HOST_FINAL ("1" — the native-f64 host wave for the df64-floor
+residue; "0" disables), BENCH_* knobs as in bench.py.
 
 Run under scripts/tpu_wait_and_run.sh with a generous timeout; detach the
 timeout wrapper if it fires mid-compile (CLAUDE.md relay-wedge discipline).
@@ -61,8 +62,9 @@ def main():
     batch = int(os.environ.get("PROBE_BATCH", "2048"))
     seeds = [int(s) for s in
              os.environ.get("PROBE_SEEDS", "1002,1004").split(",")]
-    rescue_max = os.environ.get("PROBE_RESCUE_MAX", "")
+    rescue_max = os.environ.get("PROBE_RESCUE_MAX", "600")
     rescue_max = int(rescue_max) if rescue_max else None
+    host_final = os.environ.get("PROBE_HOST_FINAL", "1") != "0"
     tol = float(os.environ.get("BENCH_TOL", "1e-7"))
     chunk = int(os.environ.get("BENCH_CHUNK", "40"))
     p2_max = int(os.environ.get("BENCH_P2MAX", "40"))
@@ -89,6 +91,7 @@ def main():
             phase2_ls_speculative=p2_spec or None,
             rescue_failed="restart",
             rescue_max_iterations=rescue_max,
+            rescue_host_final=host_final,
             phase2_chunk=p2_chunk, phase2_compact=p2_compact,
             batched=True, return_info=True)
         np.asarray(sol.converged)
@@ -96,14 +99,16 @@ def main():
         run = {"seed": seed, "wall_s": round(wall, 1),
                "p1": classify(info["p1"], f"s{seed} p1"),
                "p2": classify(info["p2"], f"s{seed} p2")}
-        if info["rescue"] is not None:
-            r = info["rescue"]
-            run["rescue"] = classify(r, f"s{seed} rescue")
-            run["rescue"]["k"] = r["k"].tolist()
-            run["rescue"]["indices"] = r["indices"].tolist()
+        for wave in ("rescue", "host_final"):
+            r = info.get(wave)
+            if r is None:
+                continue
+            run[wave] = classify(r, f"s{seed} {wave}")
+            run[wave]["k"] = r["k"].tolist()
+            run[wave]["indices"] = r["indices"].tolist()
             still = ~r["converged"]
             if still.any():
-                run["rescue"]["unsolved"] = [
+                run[wave]["unsolved"] = [
                     {"instance": int(r["indices"][i]),
                      "status": int(r["status"][i]), "k": int(r["k"][i]),
                      "primal_inf": float(r["primal_inf"][i]),
@@ -121,12 +126,16 @@ def main():
     out = os.environ.get("PROBE_OUT", "/tmp/success_probe.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
-    print("REPORT " + json.dumps(
-        {"runs": [{k: v for k, v in r.items() if k != "rescue"}
-                  | ({"rescue_summary": {kk: r["rescue"][kk] for kk in
+    summ = lambda w: {kk: w[kk] for kk in
                       ("solved", "total", "ls_failure", "iter_cap",
-                       "stall", "running", "other")}}
+                       "stall", "running", "other")}
+    print("REPORT " + json.dumps(
+        {"runs": [{k: v for k, v in r.items()
+                   if k not in ("rescue", "host_final")}
+                  | ({"rescue_summary": summ(r["rescue"])}
                      if "rescue" in r else {})
+                  | ({"host_final_summary": summ(r["host_final"])}
+                     if "host_final" in r else {})
                   for r in report["runs"]]}), flush=True)
 
 
