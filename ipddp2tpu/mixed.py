@@ -348,6 +348,12 @@ def _host_final_wave(problem, bounds, x1, u_init, theta, options,
     opts_h = options.__class__(**{
         **options.__dict__, "auto_tune": False, "ls_speculative": 0,
         "ls_spec_continue": False,
+        # force XLA everywhere: kernel "auto" dispatch keys on
+        # jax.default_backend(), which still reads "tpu" in this process
+        # even though the computation is CPU-committed — a Pallas call
+        # would fail to lower ("Only interpret mode is supported on CPU")
+        "backward_kernel": "xla", "forward_kernel": "xla",
+        "costate_kernel": "xla",
         "max_iterations": (rescue_max_iterations
                            if rescue_max_iterations is not None
                            else options.max_iterations)})
