@@ -153,3 +153,41 @@ def test_mixed_chunked_host_final_wave():
     p2_failed = np.where(~info["p2"]["converged"])[0]
     np.testing.assert_array_equal(hf["indices"], p2_failed)
     assert len(p2_failed) >= 1
+
+
+@pytest.mark.slow
+def test_host_final_wave_forces_xla_under_tpu_default_backend(monkeypatch):
+    """Regression: in an axon process jax.default_backend() == "tpu" even
+    for CPU-committed computations, so the host wave's options must force
+    the XLA kernel paths — kernel "auto" dispatch would otherwise emit a
+    pallas_call that cannot lower on the CPU backend. Reproduced by
+    patching default_backend around the wave alone."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipddp2tpu.mixed import _host_final_wave, solve_mixed_chunked
+
+    opts = Options(optimality_tolerance=1e-7, max_iterations=600)
+    n = 8
+    keys = jax.random.split(jax.random.PRNGKey(4), n)
+    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+    bounds = concar.bounds(f_lims, tau_lims)
+    u0 = jnp.broadcast_to(concar.initial_controls(),
+                          (n, concar.T, concar.NU))
+    # produce a state with the seed-4 stalled instance still unconverged
+    _, info = solve_mixed_chunked(concar.problem(), bounds, x1s, u0,
+                                  theta=thetas, options=opts, chunk=40,
+                                  phase2_max_iterations=40,
+                                  rescue_failed=False, batched=True,
+                                  return_info=True)
+    assert not info["p2"]["converged"].all()
+    # rebuild the end state by rerunning with host_final under the patch:
+    # the wave itself must never consult default_backend to pick pallas
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sol2, info2 = solve_mixed_chunked(concar.problem(), bounds, x1s, u0,
+                                      theta=thetas, options=opts, chunk=40,
+                                      phase2_max_iterations=40,
+                                      rescue_failed=False,
+                                      rescue_host_final=True,
+                                      batched=True, return_info=True)
+    assert np.asarray(sol2.converged).all(), np.asarray(sol2.status)
