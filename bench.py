@@ -35,8 +35,8 @@ BENCH_FIRST_TIMEOUT seconds (800, deadline for the worker's first line),
 BENCH_REPS (3, per rung), BENCH_LADDER like "2048:mixed,512:mixed,8:f64"
 (first entry is the primary rung; suffix "r" on a mode = restart-rescue),
 BENCH_SUCCESS ("mixedr"; "" disables the success rung),
-BENCH_RESCUE_MAX (600 — restart-rescue iteration cap; "0" falls back to
-the lockstep cap), BENCH_HOST_FINAL ("1" — success rung's native-f64
+BENCH_RESCUE_MAX (1000 — restart-rescue iteration cap, the reference's
+max_iter; "0" falls back to the lockstep cap), BENCH_HOST_FINAL ("1" — success rung's native-f64
 host-CPU re-solve of the df64-floor residue; "0" disables),
 BENCH_DEVICE_WAIT seconds (900 — a wedged relay takes 20-40 min to
 recover; polling is cheaper than doomed attempts).
@@ -113,12 +113,14 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0):
     p1_max = int(os.environ.get("BENCH_P1MAX", "0")) or None
     p2_max = int(os.environ.get("BENCH_P2MAX", "40"))
     p2_spec = int(os.environ.get("BENCH_P2SPEC", "8"))
-    # restart-rescue iteration cap: with the host-final wave in place the
-    # df64 chip rescue stops paying beyond its measured p90-solved (~590
-    # iterations; the instances left at that point sit at the df64
-    # precision floor and no budget solves them on-chip) — the host wave
-    # also runs at this cap, which exceeds the reference's own median need
-    rescue_max = int(os.environ.get("BENCH_RESCUE_MAX", "600")) or None
+    # restart-rescue iteration cap: the reference's own max_iter
+    # (src/options.jl:5). Measured round 5: capping at 600 instead only
+    # displaces the 0-2 slow-but-solvable instances (k 600-730) onto the
+    # host wave, where their long lockstep tail costs ~3x more wall than
+    # the compacted chip rescue pays for the same iterations — so the
+    # chip rescue keeps the full budget and the host wave receives only
+    # the df64-precision-floor class (native-f64 k ~110-160)
+    rescue_max = int(os.environ.get("BENCH_RESCUE_MAX", "1000")) or None
     # per-chunk adaptive hybrid-LS K in the f32 phase, e.g. "2,4,8"
     # ("" = static autotuned K)
     adapt_env = os.environ.get("BENCH_ADAPT_K", "")

@@ -12,7 +12,7 @@ solve_mixed_chunked(return_info=True) to attribute each failure:
     errors of anything still unsolved
 
 Env: PROBE_BATCH (2048), PROBE_SEEDS ("1002,1004" — the round-4 bench's
-success-rep seeds), PROBE_RESCUE_MAX (600, the bench default; "" = lockstep
+success-rep seeds), PROBE_RESCUE_MAX (1000, the bench default; "" = lockstep
 cap), PROBE_HOST_FINAL ("1" — the native-f64 host wave for the df64-floor
 residue; "0" disables), BENCH_* knobs as in bench.py.
 
@@ -62,7 +62,7 @@ def main():
     batch = int(os.environ.get("PROBE_BATCH", "2048"))
     seeds = [int(s) for s in
              os.environ.get("PROBE_SEEDS", "1002,1004").split(",")]
-    rescue_max = os.environ.get("PROBE_RESCUE_MAX", "600")
+    rescue_max = os.environ.get("PROBE_RESCUE_MAX", "1000")
     rescue_max = int(rescue_max) if rescue_max else None
     host_final = os.environ.get("PROBE_HOST_FINAL", "1") != "0"
     tol = float(os.environ.get("BENCH_TOL", "1e-7"))
