@@ -172,6 +172,18 @@ class Options:
                                         # unvalidated kernel in the bench
                                         # hot path risks the whole
                                         # certification)
+    prologue_kernel: str = "auto"       # fused derivatives+costate+
+                                        # contraction sweep when vmapped
+                                        # (ops/prologue_pallas):
+                                        # "auto"   = Pallas sweep on TPU at
+                                        #            batch >= backward.
+                                        #            PROLOGUE_KERNEL_MIN_BATCH
+                                        #            (f32 full-Newton only;
+                                        #            env override
+                                        #            IPDDP2TPU_PROLOGUE_MIN_BATCH)
+                                        # "pallas" = always (interpret mode
+                                        #            off-TPU; the test path)
+                                        # "xla"    = never
     auto_tune: bool = True              # batched TPU entry points auto-select
                                         # backward_mode / ls_speculative from
                                         # the measured crossover table

@@ -24,8 +24,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .backward import backward_pass, costate_scan
-from .derivatives import (DerivativeBundle, contract_dynamics_hessian,
+from .backward import backward_pass, compute_prologue, costate_scan
+from .derivatives import (DerivativeBundle,
                           evaluate_constraints, evaluate_derivatives,
                           relax_constraints)
 from .forward import (Trial, barrier_lagrangian, forward_pass,
@@ -321,20 +321,21 @@ def run(problem: Problem, bounds: Bounds, state: SolverState, theta,
 
 def _body(problem: Problem, bounds: Bounds, theta, options: Options,
           tol, num_bounds, s: SolverState) -> SolverState:
-    deriv = evaluate_derivatives(
-        problem, theta, s.x, s.u, s.phi,
-        quasi_newton=options.quasi_newton)
-    c_rel = relax_constraints(problem, s.c_raw, s.mu)
-    nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
-    # costate first (affine associative scan), then pre-contract the dynamics
-    # Hessians vectorized over T — the backward sweep never materializes the
-    # full [T, nx, nz, nz] tensor
-    lam = costate_scan(deriv, s.phi, kernel=options.costate_kernel)
     if options.quasi_newton:
+        deriv = evaluate_derivatives(
+            problem, theta, s.x, s.u, s.phi, quasi_newton=True)
+        lam = costate_scan(deriv, s.phi, kernel=options.costate_kernel)
         second = None
     else:
-        second = deriv.cH_phi + contract_dynamics_hessian(
-            problem, theta, s.x, s.u, lam[1:])
+        # costate first (after the derivative eval), then pre-contract the
+        # dynamics Hessians vectorized over T — the backward sweep never
+        # materializes the full [T, nx, nz, nz] tensor. The three stages
+        # dispatch as ONE fused Pallas sweep on batched TPU f32 calls
+        # (backward.compute_prologue -> ops/prologue_pallas).
+        deriv, lam, second = compute_prologue(
+            problem, theta, s.x, s.u, s.phi, options)
+    c_rel = relax_constraints(problem, s.c_raw, s.mu)
+    nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
     if options.backward_mode in ("parallel", "timeshard"):
         from .parallel.priccati import backward_pass_parallel
         vscan = None
