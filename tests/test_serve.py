@@ -7,7 +7,7 @@ import numpy as np
 
 from ipddp2tpu import Options, solve
 from ipddp2tpu.models import concar
-from ipddp2tpu.serve import solve_pool
+from ipddp2tpu.serve import solve_pool, solve_pool_resident
 import pytest
 
 OPTS = Options(optimality_tolerance=1e-6, max_iterations=600)
@@ -66,3 +66,31 @@ def test_pool_at_scale_occupancy():
     # chunk quantization bounds occupancy away from 1; it must still clear
     # a fixed floor at bench scale
     assert res.occupancy > 0.55, res.occupancy
+
+
+@pytest.mark.slow
+def test_pool_resident_matches_pool():
+    """The device-resident pool must produce the same per-instance results
+    as the host-roundtrip pool (identical seat/chunk schedule semantics)."""
+    n, slots = 6, 2
+    keys = jax.random.split(jax.random.PRNGKey(9), n)
+    thetas, f_lims, tau_lims, x1s = jax.vmap(concar.random_instance)(keys)
+    bounds = concar.bounds(f_lims, tau_lims)
+    u0 = jnp.broadcast_to(concar.initial_controls(),
+                          (n, concar.T, concar.NU))
+
+    res = solve_pool_resident(concar.problem(), bounds, x1s, u0,
+                              theta=thetas, options=OPTS, slots=slots,
+                              chunk=30)
+    sol = res.solutions
+    assert sol.converged.shape == (n,)
+    assert bool(np.all(sol.converged)), sol.status
+    assert res.occupancy > 0.5
+
+    ref = solve_pool(concar.problem(), bounds, x1s, u0, theta=thetas,
+                     options=OPTS, slots=slots, chunk=30)
+    np.testing.assert_allclose(np.asarray(sol.objective),
+                               np.asarray(ref.solutions.objective),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sol.converged),
+                                  np.asarray(ref.solutions.converged))
