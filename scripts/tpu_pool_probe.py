@@ -27,7 +27,7 @@ import numpy as np
 from ipddp2tpu import Options
 from ipddp2tpu.chunked import solve_chunked
 from ipddp2tpu.models import concar
-from ipddp2tpu.serve import solve_pool
+from ipddp2tpu.serve import solve_pool, solve_pool_resident
 
 N = int(os.environ.get("PROBE_N", "512"))
 SLOTS = int(os.environ.get("PROBE_SLOTS", "256"))
@@ -62,13 +62,25 @@ for seed in (1, 0):                       # seed 1 = warm/compile
     print(f"{label} lockstep b{N}: {int(conv.sum())}/{N} in {w_lock:.1f}s "
           f"-> {conv.sum() / w_lock:.2f} OCPs(f32)/s", flush=True)
 
+    if os.environ.get("PROBE_HOST_POOL"):
+        b, x, u, th = make(seed, N)
+        t0 = time.time()
+        res = solve_pool(problem, b, x, u, theta=th, options=options,
+                         slots=SLOTS, chunk=CHUNK)
+        conv = np.asarray(res.solutions.converged)
+        w_pool = time.time() - t0
+        print(f"{label} pool {SLOTS} slots: {int(conv.sum())}/{N} in "
+              f"{w_pool:.1f}s -> {conv.sum() / w_pool:.2f} OCPs(f32)/s "
+              f"(occupancy {res.occupancy:.2f}, {res.chunks} chunks)",
+              flush=True)
+
     b, x, u, th = make(seed, N)
     t0 = time.time()
-    res = solve_pool(problem, b, x, u, theta=th, options=options,
-                     slots=SLOTS, chunk=CHUNK)
+    res = solve_pool_resident(problem, b, x, u, theta=th, options=options,
+                              slots=SLOTS, chunk=CHUNK)
     conv = np.asarray(res.solutions.converged)
     w_pool = time.time() - t0
-    print(f"{label} pool {SLOTS} slots: {int(conv.sum())}/{N} in "
+    print(f"{label} resident pool {SLOTS} slots: {int(conv.sum())}/{N} in "
           f"{w_pool:.1f}s -> {conv.sum() / w_pool:.2f} OCPs(f32)/s "
           f"(occupancy {res.occupancy:.2f}, {res.chunks} chunks)",
           flush=True)
