@@ -45,7 +45,6 @@ restart loop then runs in lockstep with per-instance predicates.
 
 from __future__ import annotations
 
-import os
 from functools import lru_cache
 from typing import NamedTuple
 
@@ -53,8 +52,7 @@ import jax
 import jax.numpy as jnp
 from jax.custom_batching import custom_vmap
 
-from .derivatives import (DerivativeBundle, contract_dynamics_hessian,
-                          evaluate_derivatives)
+from .derivatives import DerivativeBundle
 from .ops.ldlt import (eigh_factor_and_inertia, eigh_solve,
                        ldlt_factor_pivoted, ldlt_solve_refined)
 from .options import Options
@@ -112,32 +110,7 @@ def _costate_seq_single(fx, r_x, lam_T):
     return jnp.concatenate([lam, lam_T[None]], axis=0)       # [T+1, nx]
 
 
-@lru_cache(maxsize=4)
-def _make_costate_seq(use_kernel: bool):
-    """Batched seq costate: ONE Pallas sweep on TPU (the T-stage scan is a
-    dispatch chain — measured 4.8 ms f32 / 9.8 ms df64-emulated per
-    batch-iteration at b1024 for microseconds of arithmetic); vmapped scan
-    elsewhere (CPU keeps bit-stable golden iterate paths)."""
-    fn = custom_vmap(_costate_seq_single)
-
-    @fn.def_vmap
-    def _rule(axis_size, in_batched, fx, r_x, lam_T):
-        bc = lambda x, b: (x if b else jnp.broadcast_to(
-            x[None], (axis_size,) + jnp.shape(x)))
-        fx, r_x, lam_T = jax.tree.map(bc, [fx, r_x, lam_T], in_batched)
-        if use_kernel and jax.default_backend() == "tpu":
-            from .ops.costate_pallas import costate_sweep_pallas
-            out = costate_sweep_pallas(fx, r_x, lam_T, nx=fx.shape[-1],
-                                       dd_mode=fx.dtype == jnp.float64)
-        else:
-            out = jax.vmap(_costate_seq_single)(fx, r_x, lam_T)
-        return out, True
-
-    return fn
-
-
-def costate_scan(deriv: DerivativeBundle, phi, mode: str = "auto",
-                 kernel: str = "auto"):
+def costate_scan(deriv: DerivativeBundle, phi, mode: str = "auto"):
     """Costate refresh lam_t = r_x + fx' lam_{t+1} (reference:
     src/backward_pass.jl:183,189), evaluated BEFORE the backward sweep so
     the dynamics Hessians can be pre-contracted outside the sequential scan.
@@ -152,14 +125,21 @@ def costate_scan(deriv: DerivativeBundle, phi, mode: str = "auto",
     "auto" = seq ON TPU (the headline paths run large batches where the
     lanes amortize the depth), assoc otherwise — CPU keeps assoc so
     golden-parity iterate paths are bit-stable across rounds
-    (reassociation shifts iteration counts)."""
+    (reassociation shifts iteration counts).
+
+    (A Pallas sweep kernel for the seq mode existed rounds 4-5
+    (ops/costate_pallas): on-chip it measured 2.8 vs 3.1 ms/batch-iteration
+    at b1024 f32 — a 0.4% iteration gain that never justified its
+    iterate-path drift, and the round-5 fused-prologue experiment showed
+    the surrounding per-stage work is parallel and XLA-fused already
+    (docs/PERF.md round-5 levers). Deleted per wire-or-delete.)"""
     r_x = deriv.lx + jnp.einsum("tcx,tc->tx", deriv.cx, phi)
     lam_T = deriv.lTx
     if mode == "auto":
         mode = "seq" if jax.default_backend() == "tpu" else "assoc"
 
     if mode == "seq":
-        return _make_costate_seq(kernel != "xla")(deriv.fx, r_x, lam_T)
+        return _costate_seq_single(deriv.fx, r_x, lam_T)
 
     def comb(a, b):
         # a = lower scan index (terminal side, inner map), b = outer
@@ -172,86 +152,6 @@ def costate_scan(deriv: DerivativeBundle, phi, mode: str = "auto",
     Mc, vc = jax.lax.associative_scan(comb, (Ms, vs))
     lam = jnp.flip((Mc @ lam_T[..., None])[..., 0] + vc, axis=0)
     return jnp.concatenate([lam, lam_T[None]], axis=0)   # [T+1, nx]
-
-
-# Fused-prologue dispatch threshold. Default OUT OF REACH until the kernel
-# reproduces a measured on-chip win at bench scale (same discipline as
-# forward.F32_FWD_KERNEL_MIN_BATCH): the prologue sits on the certified
-# bench's f32 hot path, and an unvalidated kernel there risks the whole
-# certification. The env override enables on-chip A/B.
-PROLOGUE_KERNEL_MIN_BATCH = int(os.environ.get(
-    "IPDDP2TPU_PROLOGUE_MIN_BATCH", "1000000"))
-
-
-@lru_cache(maxsize=64)
-def _make_prologue(problem: Problem, options: Options):
-    """custom_vmap dispatcher for the iteration prologue — derivatives +
-    costate refresh + dynamics-Hessian contraction (reference:
-    src/derivatives.jl:31-35, src/backward_pass.jl:183-189,
-    src/dynamics.jl:29-31). Per-instance: the exact XLA composition solve.py
-    always ran. Batched f32 on TPU: ONE fused Pallas sweep
-    (ops/prologue_pallas) when eligible."""
-
-    def single(theta, x, u, phi):
-        deriv = evaluate_derivatives(problem, theta, x, u, phi)
-        lam = costate_scan(deriv, phi, kernel=options.costate_kernel)
-        second = deriv.cH_phi + contract_dynamics_hessian(
-            problem, theta, x, u, lam[1:])
-        return deriv._replace(fH=None, cH_phi=None), lam, second
-
-    fn = custom_vmap(single)
-
-    @fn.def_vmap
-    def _rule(axis_size, in_batched, theta, x, u, phi):
-        def bc(a, b):
-            if b:
-                return a
-            return jnp.broadcast_to(a[None], (axis_size,) + jnp.shape(a))
-
-        theta, x, u, phi = jax.tree.map(bc, [theta, x, u, phi],
-                                        in_batched)
-        mode = options.prologue_kernel
-        use_kernel = (
-            mode != "xla"
-            and x.dtype == jnp.float32
-            and (mode == "pallas"
-                 or (jax.default_backend() == "tpu"
-                     and axis_size >= PROLOGUE_KERNEL_MIN_BATCH)))
-        if use_kernel:
-            out = _prologue_batched(problem, theta, x, u, phi)
-        else:
-            out = jax.vmap(single)(theta, x, u, phi)
-        return out, jax.tree.map(lambda _: True, out)
-
-    return fn
-
-
-def _prologue_batched(problem: Problem, theta, x, u, phi):
-    from .ops.prologue_pallas import prologue_sweep_pallas
-    tax = None if theta is None else 0
-    # terminal derivatives: one tiny per-batch jacobian pair, XLA
-    gT = lambda xT, th: jax.grad(
-        lambda xx: problem.terminal_cost(xx, th))(xT)
-    lTx = jax.vmap(gT, in_axes=(0, tax))(x[:, -1], theta)
-    lTxx = jax.vmap(lambda xT, th: jax.jacfwd(
-        lambda xx: gT(xx, th))(xT), in_axes=(0, tax))(x[:, -1], theta)
-
-    res = prologue_sweep_pallas(problem, theta, x, u, phi, lTx)
-    deriv = DerivativeBundle(
-        fx=res["fx"], fu=res["fu"], fH=None,
-        lx=res["lx"], lu=res["lu"], lxx=res["lxx"], lux=res["lux"],
-        luu=res["luu"], cx=res["cx"], cu=res["cu"], cH_phi=None,
-        lTx=lTx, lTxx=lTxx)
-    return deriv, res["lam"], res["second"]
-
-
-def compute_prologue(problem: Problem, theta, x, u, phi,
-                     options: Options):
-    """Iteration prologue with fused-kernel dispatch: returns
-    (deriv [fH=cH_phi=None], lam [T+1,nx], second [T,nz,nz]).
-    Full-Newton only — the quasi-Newton path has no contraction and keeps
-    its direct calls in solve.py."""
-    return _make_prologue(problem, options)(theta, x, u, phi)
 
 
 def _run_pass(problem: Problem, deriv: DerivativeBundle, nominal,
@@ -509,8 +409,7 @@ def backward_pass(problem: Problem, deriv: DerivativeBundle, nominal,
     zero = mu * jnp.zeros((), dtype)
 
     if lam is None:
-        lam = costate_scan(deriv, nominal[3],
-                           kernel=options.costate_kernel)
+        lam = costate_scan(deriv, nominal[3])
     if second is None and not options.quasi_newton:
         # cH_phi precomputed with nominal phi; dynamics part needs lam
         second = deriv.cH_phi

@@ -353,7 +353,6 @@ def _host_final_wave(problem, bounds, x1, u_init, theta, options,
         # even though the computation is CPU-committed — a Pallas call
         # would fail to lower ("Only interpret mode is supported on CPU")
         "backward_kernel": "xla", "forward_kernel": "xla",
-        "costate_kernel": "xla", "prologue_kernel": "xla",
         # the host wave is the last line: give it at least the reference's
         # own budget (max_iter=1000, src/options.jl:5) regardless of the
         # bench's tighter chip caps — measured: seed-1004 instance 262

@@ -158,32 +158,6 @@ class Options:
                                         # "pallas_df64" = force the df64
                                         #            kernels
                                         # "xla"    = never
-    costate_kernel: str = "xla"         # costate-sweep dispatch when the
-                                        # seq mode is vmapped:
-                                        # "auto"   = Pallas sweep kernel on
-                                        #            TPU (ops/costate_pallas,
-                                        #            f32 + df64)
-                                        # "xla"    = always the vmapped scan
-                                        # (default "xla" until the kernel's
-                                        # Mosaic lowering is validated on
-                                        # the real chip — interpret-mode
-                                        # parity alone does not type-check
-                                        # the TPU lowering, and an
-                                        # unvalidated kernel in the bench
-                                        # hot path risks the whole
-                                        # certification)
-    prologue_kernel: str = "auto"       # fused derivatives+costate+
-                                        # contraction sweep when vmapped
-                                        # (ops/prologue_pallas):
-                                        # "auto"   = Pallas sweep on TPU at
-                                        #            batch >= backward.
-                                        #            PROLOGUE_KERNEL_MIN_BATCH
-                                        #            (f32 full-Newton only;
-                                        #            env override
-                                        #            IPDDP2TPU_PROLOGUE_MIN_BATCH)
-                                        # "pallas" = always (interpret mode
-                                        #            off-TPU; the test path)
-                                        # "xla"    = never
     auto_tune: bool = True              # batched TPU entry points auto-select
                                         # backward_mode / ls_speculative from
                                         # the measured crossover table

@@ -174,7 +174,7 @@ def backward_pass_parallel(problem: Problem, deriv: DerivativeBundle,
     nz = nx + nu
 
     if lam is None:
-        lam = costate_scan(deriv, phi, kernel=options.costate_kernel)
+        lam = costate_scan(deriv, phi)
     if second is None:
         if options.quasi_newton:
             second = jnp.zeros((T, nz, nz), dtype)

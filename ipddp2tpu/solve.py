@@ -24,8 +24,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .backward import backward_pass, compute_prologue, costate_scan
-from .derivatives import (DerivativeBundle,
+from .backward import backward_pass, costate_scan
+from .derivatives import (DerivativeBundle, contract_dynamics_hessian,
                           evaluate_constraints, evaluate_derivatives,
                           relax_constraints)
 from .forward import (Trial, barrier_lagrangian, forward_pass,
@@ -321,21 +321,25 @@ def run(problem: Problem, bounds: Bounds, state: SolverState, theta,
 
 def _body(problem: Problem, bounds: Bounds, theta, options: Options,
           tol, num_bounds, s: SolverState) -> SolverState:
-    if options.quasi_newton:
-        deriv = evaluate_derivatives(
-            problem, theta, s.x, s.u, s.phi, quasi_newton=True)
-        lam = costate_scan(deriv, s.phi, kernel=options.costate_kernel)
-        second = None
-    else:
-        # costate first (after the derivative eval), then pre-contract the
-        # dynamics Hessians vectorized over T — the backward sweep never
-        # materializes the full [T, nx, nz, nz] tensor. The three stages
-        # dispatch as ONE fused Pallas sweep on batched TPU f32 calls
-        # (backward.compute_prologue -> ops/prologue_pallas).
-        deriv, lam, second = compute_prologue(
-            problem, theta, s.x, s.u, s.phi, options)
+    deriv = evaluate_derivatives(
+        problem, theta, s.x, s.u, s.phi,
+        quasi_newton=options.quasi_newton)
     c_rel = relax_constraints(problem, s.c_raw, s.mu)
     nominal = (c_rel, s.il, s.iu, s.phi, s.zl, s.zu)
+    # costate first (affine associative scan), then pre-contract the dynamics
+    # Hessians vectorized over T — the backward sweep never materializes the
+    # full [T, nx, nz, nz] tensor. (A fused Pallas prologue sweep was built
+    # and measured round 5: 41.1 vs XLA's 3.0 ms/batch-iteration at b1024
+    # f32 — the derivative/contraction stages are per-stage PARALLEL work
+    # XLA already fuses across T x B, and a kernel serializes them behind
+    # the T-sequential costate grid. Megakernels only pay off for the
+    # inherently sequential sweeps; see docs/PERF.md round-5 levers.)
+    lam = costate_scan(deriv, s.phi)
+    if options.quasi_newton:
+        second = None
+    else:
+        second = deriv.cH_phi + contract_dynamics_hessian(
+            problem, theta, s.x, s.u, lam[1:])
     if options.backward_mode in ("parallel", "timeshard"):
         from .parallel.priccati import backward_pass_parallel
         vscan = None

@@ -114,10 +114,7 @@ chained("costate scan assoc (f64)", vm(
     lambda d, p: costate_scan(d, p, mode="assoc"), 0, 0),
     (deriv, s.phi), first)
 chained("costate scan seq/xla (f64)", vm(
-    lambda d, p: costate_scan(d, p, mode="seq", kernel="xla"), 0, 0),
-    (deriv, s.phi), first)
-chained("costate scan seq/kernel (f64)", vm(
-    lambda d, p: costate_scan(d, p, mode="seq", kernel="auto"), 0, 0),
+    lambda d, p: costate_scan(d, p, mode="seq"), 0, 0),
     (deriv, s.phi), first)
 lam = jax.jit(vm(lambda d, p: costate_scan(d, p), 0, 0))(deriv, s.phi)
 

@@ -47,7 +47,6 @@ bounds, x1s, u0, thetas = jax.tree.map(c32, (bounds, x1s, u0, thetas))
 # all three kernels forced; vma check active on the Mosaic lowering
 options = Options(optimality_tolerance=1e-3, max_iterations=K,
                   backward_kernel="pallas", forward_kernel="pallas",
-                  costate_kernel="auto",
                   ls_speculative=8, ls_spec_continue=True,
                   auto_tune=False, ldlt_unroll=False)
 
