@@ -329,17 +329,18 @@ from functools import lru_cache  # noqa: E402
 from jax.custom_batching import custom_vmap  # noqa: E402
 
 
-# f32 "auto" crossover, measured round 4 on-chip: the f32 forward kernel
-# loses to the XLA speculative path at b64 (47.3 vs 35.8 ms/iter), loses
-# CATASTROPHICALLY at b256 (370.9 vs 28.3 — a bad grid/occupancy regime),
-# and won a single b1024 pair by ~6% (74.8 vs 79.7) that is within relay
-# noise. Default: OFF (threshold out of reach) until a reproducible win
-# is measured; the env override enables on-chip A/B without touching the
-# df64 phase-2 kernel (which Options.forward_kernel="xla" would also
-# disable). Keeping the default off also keeps the headline bench's f32
-# phase on its certified, cache-prewarmed program.
-F32_FWD_KERNEL_MIN_BATCH = int(os.environ.get(
-    "IPDDP2TPU_F32_FWD_MIN_BATCH", "1000000"))
+# f32 "auto" dispatch: PRUNED round 5 after the full measurement story
+# resolved the round-4 ambiguity. 30-iteration hybrid-LS probe walls
+# (scripts/tpu_forward_probe.py): loses b64 (47.3 vs 35.8 ms/iter), wins
+# b128-b1024 (33.3/36.4, 37.0/44.4, 50.9/55.2, 74.8/79.7), loses b2048
+# (155.8 vs 118.7) — round 4's b256 "pathological 370.9" never reproduced
+# (contended-queue artifact). But FULL b512 solves measured the kernel 12%
+# SLOWER (187.3 vs 167.4 s warm, same seed): the probe samples early
+# backtracking-heavy iterations, while the solve's bulk — frozen converged
+# lanes, gamma=1 accepts — favors the XLA path it was measured against.
+# No regime with a reproducible full-solve win => "auto" never selects the
+# f32 kernel; forward_kernel="pallas" (the interpret-mode test path)
+# still forces it. The df64 kernel remains the measured f64 default.
 
 
 def _kernel_mode(problem: Problem, theta, dtype, options: Options,
@@ -358,16 +359,8 @@ def _kernel_mode(problem: Problem, theta, dtype, options: Options,
         return True
     if jax.default_backend() != "tpu":
         return None
-    if not dd_mode and (batch is None or batch < F32_FWD_KERNEL_MIN_BATCH):
-        return None
     if not dd_mode:
-        # no eligibility probe for f32: the trace goes through
-        # jax.make_jaxpr, which accepts any primitive (ddeval's
-        # NotImplementedError is a dd_mode-only signal), so a probe here
-        # proves nothing about Mosaic supportability — an unsupported model
-        # surfaces at kernel compile. Only reachable via the
-        # IPDDP2TPU_F32_FWD_MIN_BATCH override.
-        return False
+        return None                   # pruned: see the dispatch note above
     # dd eligibility: the model must trace through the df64 interpreter,
     # which raises NotImplementedError on primitives it has no dd rule for
     try:

@@ -52,9 +52,15 @@ def make(seed, dtype):
 for dt_name in DTYPES:
     dtype = jnp.float32 if dt_name == "f32" else jnp.float64
     for mode in MODES:
+        # PROBE_HYBRID=1: the bench-real hybrid line search (speculative
+        # K-lane eval + sequential continuation). Pure spec (default) with
+        # small K fails whole batches at iteration 0 (status 7) — a K=4
+        # b2048 probe without it measures nothing.
         options = Options(optimality_tolerance=1e-10, max_iterations=ITERS,
                           ldlt_unroll=False, forward_kernel=mode,
-                          ls_speculative=K, auto_tune=False)
+                          ls_speculative=K, auto_tune=False,
+                          ls_spec_continue=bool(
+                              os.environ.get("PROBE_HYBRID")))
         t0 = time.time()
         b, x, u, th = make(1, dtype)
         sol = solve_chunked(problem, b, x, u, theta=th, options=options,
