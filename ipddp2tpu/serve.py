@@ -149,6 +149,19 @@ def solve_pool_resident(problem: Problem, bounds: Bounds, x1: Array,
     result buffers, and re-seats fresh instances from the reservoir — the
     host reads a single "all done" scalar per chunk and downloads results
     once at the end.
+
+    Measured on-chip (round 5, scripts/tpu_pool_probe.py, 512 instances /
+    256 slots / chunk 40, f32 3e-4): 5.71 OCPs/s vs lockstep b512's 23.93
+    — 3.2x the round-2 host-roundtrip pool (1.76) but still 4x behind
+    lockstep. With the relay overhead gone the residual loss is
+    STRUCTURAL: f32 iterations are latency-bound, so a frozen lockstep
+    lane costs ~nothing while a pool of half the lanes pays the same
+    per-chunk wall for half the instances in flight, minus chunk-40
+    occupancy quantization (0.41 measured). The LLM continuous-batching
+    analogy fails here because idle lanes are free — there is no
+    KV-cache-style memory pressure to reclaim. Lockstep-with-freezing is
+    the structurally optimal batch discipline on this hardware; the pool
+    APIs remain for genuine streaming arrivals.
     """
     options = options or Options()
     n = x1.shape[0]
