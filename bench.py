@@ -191,6 +191,7 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0,
     # conservatively.
     t_start = time.time()
     est = {"mixed": 130.0, "mixedr": 320.0, "f64": 350.0}
+    ran = set()
     for i, mode in enumerate(modes):
         warm = mode == "warm"
         if warm:
@@ -200,8 +201,12 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0,
             run_mode = modes[i + 1] if i + 1 < len(modes) else "mixed"
         else:
             run_mode = mode
-            if soft and (time.time() - t_start
-                         + est.get(run_mode, 300.0)) > soft:
+            # the FIRST rep of each mode is exempt: the success rung's
+            # certification must land even after a slow warm rep — only
+            # repeat reps are sacrificed to the deadline
+            if (soft and run_mode in ran
+                    and (time.time() - t_start
+                         + est.get(run_mode, 300.0)) > soft):
                 print(f"# skipped {run_mode} rep {i}: estimated "
                       f"{est.get(run_mode, 300.0):.0f}s overruns the "
                       f"{soft:.0f}s soft deadline", file=sys.stderr,
@@ -215,6 +220,7 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0,
         wall = time.time() - t0
         if not warm:
             est[run_mode] = wall + 30.0       # + inter-rep overhead margin
+            ran.add(run_mode)
         stats = batch_stats(sol)
         solved = int(stats.num_converged)
         print(json.dumps({
