@@ -24,11 +24,12 @@ of nothing.
 Process layout (round 4, after per-attempt subprocess isolation proved to
 cost ~400 s of interpreter + compile-cache-load PER ATTEMPT): ONE worker
 subprocess executes the whole measurement plan — an unreported warm solve,
-then ALL headline reps, then the success-rung reps (round 5: headline
-first, so the reported median always gets its full rep count; a
-worker-side soft deadline skips trailing reps that would overrun the
-driver's capture window and exits cleanly, BENCH_SOFT_DEADLINE below) —
-streaming one JSON line per completed solve. The parent collects lines as
+one headline rep, ONE success rep (certification priority: both rungs
+land even when the relay draws its slow tail), then the remaining
+headline reps and extra success reps (a worker-side soft deadline skips
+trailing reps that would overrun the driver's capture window so the run
+exits cleanly, BENCH_SOFT_DEADLINE below) — streaming one JSON line per
+completed solve. The parent collects lines as
 they arrive, so a TPU-worker crash or kill mid-plan only loses the rep in
 flight. A ladder of fallback configurations engages only if the primary
 rung produced nothing.
@@ -421,11 +422,20 @@ def main():
         if budget.remaining() < 180:
             break
         batch_s, mode = item.split(":")
-        # headline reps FIRST (the reported value needs its full median;
-        # the soft deadline may trim trailing success reps instead)
-        plan = ["warm"] + [mode] * n_reps
+        # Certification-priority order: one headline rep, then ONE success
+        # rep (the rung the reference still held until round 5 — it must
+        # land even when the warm rep or success wall draws the relay's
+        # slow tail), then the remaining headline reps, then extra success
+        # reps. The worker's soft deadline trims from the BACK, so a bad
+        # draw degrades to 1 headline + 1 success rep instead of losing a
+        # rung; a typical run completes 3 + 2.
+        plan = ["warm", mode]
         if success_mode and mode.startswith("mixed"):
-            plan += [success_mode] * n_reps
+            plan += [success_mode]
+            plan += [mode] * (n_reps - 1)
+            plan += [success_mode] * (n_reps - 1)
+        else:
+            plan += [mode] * (n_reps - 1)
         # even when the probe failed, give the attempt the full first-line
         # window (the worker's own claim can succeed where a probe
         # subprocess raced the recovery) — the budget still bounds it
