@@ -64,7 +64,7 @@ REFERENCE_MEDIAN_WALL_S = 0.1214  # BASELINE.md concar IPDDP2 median
 
 
 def worker(batch: int, plan: str, tol: float, seed0: int = 0,
-           soft: float = 0.0):
+           soft: float = 0.0, hard: float = 0.0):
     """Execute `plan` (comma list of modes; "warm" = unreported headline-
     config solve) on fresh instance sets, one JSON line per solve.
     `soft` > 0 = soft deadline in seconds from worker start (see below)."""
@@ -192,7 +192,7 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0,
     # conservatively.
     t_start = time.time()
     est = {"mixed": 130.0, "mixedr": 320.0, "f64": 350.0}
-    ran = set()
+    done = {}
     for i, mode in enumerate(modes):
         warm = mode == "warm"
         if warm:
@@ -202,12 +202,15 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0,
             run_mode = modes[i + 1] if i + 1 < len(modes) else "mixed"
         else:
             run_mode = mode
-            # the FIRST rep of each mode is exempt: the success rung's
-            # certification must land even after a slow warm rep — only
-            # repeat reps are sacrificed to the deadline
-            if (soft and run_mode in ran
-                    and (time.time() - t_start
-                         + est.get(run_mode, 300.0)) > soft):
+            # the first TWO reps of each mode get the HARD deadline (the
+            # success rung's certification must land even after a slow
+            # warm rep, and a single headline rep can be a degraded-relay
+            # draw — observed 245 s for a cached 70 s program — so one
+            # retry is budgeted); further reps obey the SOFT deadline
+            limit = (soft if done.get(run_mode, 0) >= 2
+                     else (hard or soft))
+            if (soft and (time.time() - t_start
+                          + est.get(run_mode, 300.0)) > limit):
                 print(f"# skipped {run_mode} rep {i}: estimated "
                       f"{est.get(run_mode, 300.0):.0f}s overruns the "
                       f"{soft:.0f}s soft deadline", file=sys.stderr,
@@ -221,7 +224,7 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0,
         wall = time.time() - t0
         if not warm:
             est[run_mode] = wall + 30.0       # + inter-rep overhead margin
-            ran.add(run_mode)
+            done[run_mode] = done.get(run_mode, 0) + 1
         stats = batch_stats(sol)
         solved = int(stats.num_converged)
         print(json.dumps({
@@ -278,9 +281,11 @@ def _run_plan(budget: "_Budget", batch_s: str, plan: list, tol: float,
     soft = max(120.0, min(
         float(os.environ.get("BENCH_SOFT_DEADLINE", "1000")),
         budget.remaining() - 60.0))
+    hard = max(soft, min(soft + 400.0, budget.remaining() - 150.0))
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker",
-         batch_s, ",".join(plan), str(tol), str(seed0), str(soft)],
+         batch_s, ",".join(plan), str(tol), str(seed0), str(soft),
+         str(hard)],
         stdout=subprocess.PIPE, stderr=err_f, text=True, cwd=HERE)
     budget.child = proc
     n_lines = [0]
@@ -452,6 +457,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]),
                int(sys.argv[5]) if len(sys.argv) > 5 else 0,
-               float(sys.argv[6]) if len(sys.argv) > 6 else 0.0)
+               float(sys.argv[6]) if len(sys.argv) > 6 else 0.0,
+               float(sys.argv[7]) if len(sys.argv) > 7 else 0.0)
     else:
         main()
