@@ -202,19 +202,31 @@ def worker(batch: int, plan: str, tol: float, seed0: int = 0,
             run_mode = modes[i + 1] if i + 1 < len(modes) else "mixed"
         else:
             run_mode = mode
-            # the first TWO reps of each mode get the HARD deadline (the
-            # success rung's certification must land even after a slow
-            # warm rep, and a single headline rep can be a degraded-relay
-            # draw — observed 245 s for a cached 70 s program — so one
-            # retry is budgeted); further reps obey the SOFT deadline
-            limit = (soft if done.get(run_mode, 0) >= 2
-                     else (hard or soft))
+            # Deadline tiers. The FIRST success-rung rep ("…r" modes) is
+            # UNCONDITIONALLY exempt — certification of the 100%-success
+            # rung outranks scheduling (a degraded-relay run once burned
+            # ~600 s of budget in the device probe, shrank the deadlines,
+            # and silently dropped the only mixedr rep). The first two
+            # reps of other modes get the HARD deadline (one retry for a
+            # degraded-relay draw — observed 245 s for a cached 70 s
+            # program); all further reps obey the SOFT deadline.
+            n_done = done.get(run_mode, 0)
+            if run_mode.endswith("r") and n_done == 0:
+                limit = float("inf")
+            elif n_done >= 2:
+                limit = soft
+            else:
+                limit = hard or soft
             if (soft and (time.time() - t_start
                           + est.get(run_mode, 300.0)) > limit):
-                print(f"# skipped {run_mode} rep {i}: estimated "
-                      f"{est.get(run_mode, 300.0):.0f}s overruns the "
-                      f"{soft:.0f}s soft deadline", file=sys.stderr,
-                      flush=True)
+                print(json.dumps({
+                    "skipped": True, "warm": False,
+                    "detail": {"batch": batch, "mode": run_mode,
+                               "rep": i, "skipped": True,
+                               "elapsed_s": round(time.time() - t_start, 1),
+                               "est_s": est.get(run_mode, 300.0),
+                               "limit_s": round(limit, 1)},
+                }), flush=True)
                 continue
         seed = seed0 + 1000 + i
         args = make(seed)
@@ -418,7 +430,7 @@ def main():
 
     def on_line(d):
         attempts.append(d["detail"])
-        if d.get("warm"):
+        if d.get("warm") or d.get("skipped"):
             return
         mode = d["detail"]["mode"]
         (succ_reps if mode.endswith("r") else head_reps).append(d)
